@@ -1,0 +1,172 @@
+"""Residual vector quantization (RVQ), TPU-native and functional.
+
+Re-design of the reference's EMA-codebook RVQ (ref: layers/vq_module.py:19-161,
+SoundStream alg. 1) as pure functions over an explicit parameter pytree:
+
+    params = {
+        "embed":        (Q, N, D)  codebooks (N entries of dim D per quantizer)
+        "cluster_size": (Q, N)     EMA cluster sizes
+        "embed_avg":    (Q, N, D)  EMA sums
+    }
+
+Gradient semantics replicate the reference exactly: the residual subtraction is
+*not* detached (ref: layers/vq_module.py:126-129), so only the first
+quantizer's straight-through gradient reaches the encoder; commitment loss is
+computed per-layer on the (gradient-dead for q>=1) residuals.
+
+The EMA codebook update is returned functionally (new params) and supports a
+cross-replica `psum` over a mesh axis for data-parallel training — summing
+one-hot counts and embedding sums across replicas reproduces single-device
+semantics at equal global batch (SURVEY.md §5, §7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rvq_init(key, num_quantizers: int, codebook_size: int, dim: int,
+             dtype=jnp.float32) -> dict:
+    """Random-normal codebooks, like the reference's `torch.randn(dim, n)`."""
+    embed = jax.random.normal(key, (num_quantizers, codebook_size, dim), dtype)
+    return {
+        "embed": embed,
+        "cluster_size": jnp.zeros((num_quantizers, codebook_size), dtype),
+        "embed_avg": embed.copy(),
+    }
+
+
+def vq_distances(z: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances.  z: (..., D); embed: (N, D) -> (..., N).
+
+    Computed as |z|^2 - 2 z.E^T + |E|^2 in f32, the same expansion the
+    reference uses (ref: layers/vq_module.py:63-68).
+    """
+    z2 = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+    e2 = jnp.sum(jnp.square(embed), axis=-1)
+    cross = jnp.einsum("...d,nd->...n", z, embed,
+                       preferred_element_type=jnp.float32)
+    return z2 - 2.0 * cross + e2
+
+
+def vq_nearest(z: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-codebook indices with lowest-index tie-breaking.
+
+    Matches torch's `(-dist).max(1)` (first maximal element = lowest index,
+    ref: layers/vq_module.py:69); `jnp.argmin` has the same tie rule.
+    """
+    return jnp.argmin(vq_distances(z, embed), axis=-1).astype(jnp.int32)
+
+
+def _straight_through(residual, quant):
+    return residual + jax.lax.stop_gradient(quant - residual)
+
+
+def rvq_forward_index(z: jnp.ndarray, params: dict,
+                      flatten: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize-dequantize with indices (inference path).
+
+    z: (B, T, D).  Returns (zq, idx) with zq (B, T, D) and idx (B, T, Q)
+    int32; if `flatten`, layer-q indices are offset by q*N, the reference's
+    wire format (ref: layers/vq_module.py:136-149).
+    """
+    embed = params["embed"]
+    num_q, n_embed = embed.shape[0], embed.shape[1]
+    residual = z
+    zq = jnp.zeros_like(z)
+    idxs = []
+    for q in range(num_q):
+        idx = vq_nearest(residual, embed[q])
+        quant = jnp.take(embed[q], idx, axis=0)
+        quant = _straight_through(residual, quant)
+        residual = residual - quant
+        zq = zq + quant
+        idxs.append(idx + q * n_embed if flatten else idx)
+    return zq, jnp.stack(idxs, axis=-1)
+
+
+def rvq_lookup(idx: jnp.ndarray, params: dict,
+               flattened: bool = False) -> jnp.ndarray:
+    """Decode indices -> zq by codebook lookup + sum over quantizers.
+
+    idx: (B, T, Q) int32.  Equivalent of the reference's flat-table
+    `F.embedding(...).sum(0)` (ref: layers/vq_module.py:151-161).
+    """
+    embed = params["embed"]
+    num_q, n_embed, dim = embed.shape
+    if flattened:
+        idx = idx - (jnp.arange(num_q, dtype=idx.dtype) * n_embed)
+    flat = embed.reshape(num_q * n_embed, dim)
+    off = idx + (jnp.arange(num_q, dtype=idx.dtype) * n_embed)
+    return jnp.sum(jnp.take(flat, off, axis=0), axis=-2)
+
+
+def rvq_forward(z: jnp.ndarray, params: dict, *, train: bool,
+                decay: float = 0.8, eps: float = 1e-5,
+                commitment: float = 1.0,
+                axis_name: Optional[str] = None):
+    """Training/eval forward: (zq, per-layer losses, perplexities, new_params).
+
+    z: (B, T, D).  In training mode the EMA codebook update of the reference
+    (ref: layers/vq_module.py:74-80) is applied functionally; statistics are
+    `psum`ed over `axis_name` when given (data-parallel EMA).
+    """
+    embed = params["embed"]
+    num_q, n_embed, dim = embed.shape
+    flat_dim = z.shape[0] * z.shape[1] if z.ndim == 3 else z.shape[0]
+
+    residual = z
+    zq = jnp.zeros_like(z)
+    losses, perplexities = [], []
+    new_cluster = []
+    new_avg = []
+    new_embed = []
+    for q in range(num_q):
+        e_q = embed[q]
+        idx = vq_nearest(residual, e_q)
+        quant = jnp.take(e_q, idx, axis=0)
+
+        flatten = residual.reshape(-1, dim)
+        onehot = jax.nn.one_hot(idx.reshape(-1), n_embed, dtype=z.dtype)
+        avg_probs = jnp.mean(onehot, axis=0)
+        if axis_name is not None:
+            avg_probs = jax.lax.pmean(avg_probs, axis_name)
+        perplexities.append(
+            jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10))))
+
+        # commitment loss: MSE(sg(quant), residual) (ref vq_module.py:82)
+        losses.append(commitment * jnp.mean(
+            jnp.square(jax.lax.stop_gradient(quant) - residual)))
+
+        if train:
+            onehot_sum = jnp.sum(onehot, axis=0)
+            embed_sum = jnp.einsum("nd,ne->ed", flatten, onehot,
+                                   preferred_element_type=jnp.float32)
+            if axis_name is not None:
+                onehot_sum = jax.lax.psum(onehot_sum, axis_name)
+                embed_sum = jax.lax.psum(embed_sum, axis_name)
+            onehot_sum = jax.lax.stop_gradient(onehot_sum)
+            embed_sum = jax.lax.stop_gradient(embed_sum)
+            cs = params["cluster_size"][q] * decay + (1 - decay) * onehot_sum
+            ea = params["embed_avg"][q] * decay + (1 - decay) * embed_sum
+            smoothed = (cs + eps) / (jnp.sum(cs) + n_embed * eps) * jnp.sum(cs)
+            new_cluster.append(cs)
+            new_avg.append(ea)
+            new_embed.append(ea / smoothed[:, None])
+
+        quant = _straight_through(residual, quant)
+        residual = residual - quant
+        zq = zq + quant
+
+    if train:
+        new_params = {
+            "embed": jnp.stack(new_embed),
+            "cluster_size": jnp.stack(new_cluster),
+            "embed_avg": jnp.stack(new_avg),
+        }
+    else:
+        new_params = params
+    return zq, jnp.stack(losses), jnp.stack(perplexities), new_params

@@ -1,0 +1,132 @@
+"""PyTorch -> JAX checkpoint importer for reference AudioDec checkpoints.
+
+Maps the reference state_dict naming scheme (ref: models/autoencoder/
+AudioDec.py, models/vocoder/HiFiGAN.py) onto our parameter pytrees, with
+layout conversion:
+
+    Conv1d   (O, I, K)   -> (K, I, O)
+    ConvT1d  (I, O, K)   -> (K, I, O), kernel flipped ("gathering" orientation)
+    Conv2d   (O, I, H, W)-> (H, W, I, O)
+    VQ embed (D, N)      -> (N, D)
+
+Weight-normalized layers (`weight_g`/`weight_v` pairs, torch dim=0 semantics)
+are folded into plain kernels: w = g * v / ||v||_{dims != 0}
+(needed for released vocoder checkpoints, ref: HiFiGAN.py weight norm default
+on; SURVEY.md §5 checkpoint subsystem).
+
+This module is torch-free: it consumes a {name: np.ndarray} dict.  Use
+`load_torch_checkpoint` (requires torch) to read a reference .pkl file.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold every `X.weight_g`/`X.weight_v` pair into `X.weight`."""
+    out = {}
+    done = set()
+    for k in sd:
+        if k.endswith("weight_g"):
+            base = k[: -len("weight_g")]
+            v = np.asarray(sd[base + "weight_v"], dtype=np.float64)
+            g = np.asarray(sd[k], dtype=np.float64)
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+            out[base + "weight"] = (g * v / norm).astype(np.float32)
+            done.add(k)
+            done.add(base + "weight_v")
+    for k, a in sd.items():
+        if k not in done and not k.endswith(("weight_g", "weight_v")):
+            out.setdefault(k, np.asarray(a))
+    return out
+
+
+def _conv(sd, prefix, bias=True):
+    w = np.asarray(sd[prefix + ".weight"], np.float32)
+    p = {"w": jnp.asarray(np.transpose(w, (2, 1, 0)))}
+    if bias and prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[prefix + ".bias"], np.float32))
+    return p
+
+
+def _convT(sd, prefix, bias=True):
+    w = np.asarray(sd[prefix + ".weight"], np.float32)  # (I, O, K)
+    w = np.transpose(w[:, :, ::-1].copy(), (2, 0, 1))   # (K, I, O)
+    p = {"w": jnp.asarray(w)}
+    if bias and prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[prefix + ".bias"], np.float32))
+    return p
+
+
+def _conv2d(sd, prefix, bias=True):
+    w = np.asarray(sd[prefix + ".weight"], np.float32)  # (O, I, H, W)
+    p = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+    if bias and prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[prefix + ".bias"], np.float32))
+    return p
+
+
+def _res_unit(sd, prefix):
+    return {"conv1": _conv(sd, prefix + ".conv1.conv"),
+            "conv2": _conv(sd, prefix + ".conv2")}
+
+
+def import_autoencoder(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Reference AudioDec Generator state_dict -> generator params pytree."""
+    sd = fold_weight_norm(sd)
+    enc = {"conv": _conv(sd, "encoder.conv.conv"), "blocks": []}
+    for i in range(len(cfg.enc_strides)):
+        pre = f"encoder.conv_blocks.{i}"
+        enc["blocks"].append({
+            "res": [_res_unit(sd, f"{pre}.res_units.{j}")
+                    for j in range(len(cfg.res_dilations))],
+            "conv": _conv(sd, f"{pre}.conv.conv"),
+        })
+
+    proj = {"conv": _conv(sd, "projector.project.conv")}
+
+    embeds, cluster, avg = [], [], []
+    for q in range(cfg.codebook_num):
+        pre = f"quantizer.codebook.layers.{q}"
+        embeds.append(np.asarray(sd[pre + ".embed"], np.float32).T)  # (N, D)
+        cluster.append(np.asarray(sd[pre + ".cluster_size"], np.float32))
+        avg.append(np.asarray(sd[pre + ".embed_avg"], np.float32).T)
+    quant = {"embed": jnp.asarray(np.stack(embeds)),
+             "cluster_size": jnp.asarray(np.stack(cluster)),
+             "embed_avg": jnp.asarray(np.stack(avg))}
+
+    dec = {"conv1": _conv(sd, "decoder.conv1.conv"), "blocks": []}
+    for i in range(len(cfg.dec_strides)):
+        if cfg.codec == "activate_audiodec":
+            # ActivateDecoder wraps each block in Sequential(act, DecoderBlock)
+            pre = f"decoder.conv_blocks.{i}.1"
+        else:
+            pre = f"decoder.conv_blocks.{i}"
+        dec["blocks"].append({
+            "conv": _convT(sd, f"{pre}.conv.deconv"),
+            "res": [_res_unit(sd, f"{pre}.res_units.{j}")
+                    for j in range(len(cfg.res_dilations))],
+        })
+    dec["conv2"] = _conv(sd, "decoder.conv2.conv")
+
+    return {"encoder": enc, "projector": proj, "quantizer": quant,
+            "decoder": dec}
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference .pkl checkpoint (or raw state_dict) into numpy arrays.
+
+    Accepts the trainer layout {'model': {'generator': sd, ...}, ...}
+    (ref: trainer/trainerGAN.py:95-121) or a bare state_dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]
+        obj = obj.get("generator", obj)
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()}

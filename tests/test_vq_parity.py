@@ -1,0 +1,168 @@
+"""RVQ parity vs a torch oracle implementing the reference's EMA-VQ math
+(spec: ref layers/vq_module.py:19-161)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.ops.vq import (
+    rvq_forward,
+    rvq_forward_index,
+    rvq_init,
+    rvq_lookup,
+    vq_nearest,
+)
+
+RNG = np.random.default_rng(42)
+Q, N, D = 4, 32, 8
+
+
+def torch_vq_forward_index(z, embeds, flatten=False):
+    """Oracle for the reference's ResidualVQ.forward_index."""
+    residual = torch.tensor(z.reshape(-1, D))
+    zq = torch.zeros_like(residual)
+    idxs = []
+    for q in range(Q):
+        embed = torch.tensor(embeds[q].T)  # (D, N) like ref
+        flat = residual
+        dist = (flat.pow(2).sum(1, keepdim=True) - 2 * flat @ embed
+                + embed.pow(2).sum(0, keepdim=True))
+        _, ind = (-dist).max(1)
+        quant = F.embedding(ind, embed.t())
+        residual = residual - quant
+        zq = zq + quant
+        idxs.append(ind.numpy() + (q * N if flatten else 0))
+    return zq.numpy(), np.stack(idxs, -1)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return rvq_init(jax.random.PRNGKey(0), Q, N, D)
+
+
+def test_nearest_ties_lowest_index():
+    embed = jnp.asarray(np.stack([np.ones(D), np.ones(D), np.zeros(D)])
+                        .astype(np.float32))
+    z = jnp.ones((1, D), dtype=jnp.float32)
+    assert int(vq_nearest(z, embed)[0]) == 0
+
+
+@pytest.mark.parametrize("flatten", [False, True])
+def test_forward_index_matches_oracle(params, flatten):
+    z = RNG.standard_normal((2, 6, D)).astype(np.float32)
+    embeds = np.asarray(params["embed"])
+    zq_ref, idx_ref = torch_vq_forward_index(z, embeds, flatten)
+    zq, idx = rvq_forward_index(jnp.asarray(z), params, flatten=flatten)
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1, Q), idx_ref)
+    np.testing.assert_allclose(np.asarray(zq).reshape(-1, D), zq_ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lookup_roundtrip(params):
+    z = RNG.standard_normal((3, 5, D)).astype(np.float32)
+    zq, idx = rvq_forward_index(jnp.asarray(z), params)
+    out = rvq_lookup(idx, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(zq), rtol=1e-5,
+                               atol=1e-5)
+    # flattened wire format too
+    _, fidx = rvq_forward_index(jnp.asarray(z), params, flatten=True)
+    out2 = rvq_lookup(fidx, params, flattened=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(zq), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_eval_forward_matches_forward_index(params):
+    """In eval mode forward == quantize-dequantize (ref vq_module.py:74)."""
+    z = RNG.standard_normal((2, 7, D)).astype(np.float32)
+    zq_e, _, _, new_p = rvq_forward(jnp.asarray(z), params, train=False)
+    zq_i, _ = rvq_forward_index(jnp.asarray(z), params)
+    np.testing.assert_allclose(np.asarray(zq_e), np.asarray(zq_i), rtol=1e-6)
+    assert new_p is params
+
+
+def test_ema_update_matches_oracle(params):
+    """One training step of the EMA codebook update vs a torch oracle
+    (spec: ref layers/vq_module.py:55-80)."""
+    decay, eps = 0.8, 1e-5
+    z = RNG.standard_normal((4, 10, D)).astype(np.float32)
+    _, losses, ppl, new_p = rvq_forward(jnp.asarray(z), params, train=True,
+                                        decay=decay, eps=eps)
+
+    # torch oracle, layer by layer
+    residual = torch.tensor(z.reshape(-1, D))
+    cluster = torch.tensor(np.asarray(params["cluster_size"]))
+    avg = torch.tensor(np.asarray(params["embed_avg"]))
+    for q in range(Q):
+        embed = torch.tensor(np.asarray(params["embed"][q]).T)  # (D, N)
+        flat = residual
+        dist = (flat.pow(2).sum(1, keepdim=True) - 2 * flat @ embed
+                + embed.pow(2).sum(0, keepdim=True))
+        _, ind = (-dist).max(1)
+        onehot = F.one_hot(ind, N).float()
+        quant = F.embedding(ind, embed.t())
+
+        cs = cluster[q] * decay + (1 - decay) * onehot.sum(0)
+        ea = avg[q] * decay + (1 - decay) * (flat.t() @ onehot).t()
+        smoothed = (cs + eps) / (cs.sum() + N * eps) * cs.sum()
+        embed_new = ea / smoothed.unsqueeze(1)
+
+        np.testing.assert_allclose(np.asarray(new_p["cluster_size"][q]),
+                                   cs.numpy(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_p["embed_avg"][q]),
+                                   ea.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_p["embed"][q]),
+                                   embed_new.numpy(), rtol=1e-4, atol=1e-5)
+
+        loss_ref = F.mse_loss(quant, flat).item()
+        np.testing.assert_allclose(float(losses[q]), loss_ref, rtol=1e-4)
+
+        probs = onehot.mean(0)
+        ppl_ref = torch.exp(-(probs * torch.log(probs + 1e-10)).sum()).item()
+        np.testing.assert_allclose(float(ppl[q]), ppl_ref, rtol=1e-4)
+
+        residual = residual - quant
+
+
+def test_straight_through_gradient():
+    """Only the first quantizer's gradient reaches z, and it is identity
+    (ref: layers/vq_module.py:126-129 non-detached residual)."""
+    params = rvq_init(jax.random.PRNGKey(1), Q, N, D)
+    z = jnp.asarray(RNG.standard_normal((1, 3, D)).astype(np.float32))
+
+    def f(z):
+        zq, _, _, _ = rvq_forward(z, params, train=False)
+        return jnp.sum(zq)
+
+    g = jax.grad(f)(z)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(np.asarray(g)),
+                               rtol=1e-6)
+
+
+def test_ema_data_parallel_matches_single_device(params):
+    """psum'd EMA over a 2-way data mesh == single-device EMA on the
+    concatenated batch (SURVEY.md §7 hard part 6)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    z = RNG.standard_normal((4, 6, D)).astype(np.float32)
+    _, _, _, ref_p = rvq_forward(jnp.asarray(z), params, train=True)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+
+    @jax.jit
+    def sharded(z):
+        def step(z):
+            _, _, _, new_p = rvq_forward(z, params, train=True,
+                                         axis_name="data")
+            return new_p
+        return shard_map(step, mesh=mesh, in_specs=P("data"),
+                         out_specs=P())(z)
+
+    new_p = sharded(jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(new_p["embed"]),
+                               np.asarray(ref_p["embed"]), rtol=1e-4,
+                               atol=1e-5)

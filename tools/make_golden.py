@@ -1,0 +1,113 @@
+"""Generate golden parity vectors by running the reference implementation.
+
+Runs the actual facebookresearch/AudioDec torch code (mounted read-only at
+/root/reference) with seeded random weights, and dumps inputs/outputs/
+state_dict to tests/golden/*.npz.  Tests load the npz only — they never import
+the reference.
+
+Usage: python tools/make_golden.py
+"""
+
+import os
+import sys
+
+os.environ["PYTHONDONTWRITEBYTECODE"] = "1"
+sys.dont_write_bytecode = True
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+import torch
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+torch.manual_seed(1234)
+np.random.seed(1234)
+
+
+def dump_generator(name, T=1800, **kwargs):
+    from models.autoencoder.AudioDec import StreamGenerator
+
+    model = StreamGenerator(**kwargs)
+    # randomize EMA buffers too so importer mapping is exercised
+    with torch.no_grad():
+        for q in model.quantizer.codebook.layers:
+            q.cluster_size.uniform_(0.5, 2.0)
+            q.embed_avg.normal_()
+    model.eval()
+
+    x = np.random.default_rng(7).standard_normal((1, 1, T)).astype(np.float32)
+    xt = torch.tensor(x)
+
+    with torch.no_grad():
+        y, zq, z, vqloss, ppl = model(xt)
+
+        # streaming paths (ref: AudioDec.py:228-247): reset buffers first
+        model.reset_buffer()
+        model.quantizer.initial()
+        zs = model.encode(xt)
+        idx = model.quantize(zs)
+        zq_s = model.lookup(idx)
+        ys = model.decode(zq_s)
+
+        # hop-by-hop streaming over 6 hops
+        hop = int(np.prod(kwargs.get("enc_strides", (3, 4, 5, 5))))
+        model.reset_buffer()
+        chunks = []
+        n_hops = min(6, T // hop)
+        for i in range(n_hops):
+            xi = xt[:, :, i * hop:(i + 1) * hop]
+            zi = model.encode(xi)
+            ii = model.quantize(zi)
+            zqi = model.lookup(ii)
+            yi = model.decode(zqi)
+            chunks.append(yi.numpy())
+        y_hops = np.concatenate(chunks, axis=-1)
+
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(OUT, f"{name}.npz"),
+        x=x, y=y.numpy(), zq=zq.numpy(), z=z.numpy(),
+        vqloss=vqloss.numpy(), perplexity=ppl.numpy(),
+        z_stream=zs.numpy(), idx_stream=idx.numpy(),
+        zq_stream=zq_s.numpy(), y_stream=ys.numpy(),
+        y_hops=y_hops, n_hops=np.array(n_hops),
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+    n_params = sum(v.size for k, v in sd.items() if "pad_buffer" not in k)
+    print(f"{name}: T={T} params={n_params} idx shape={idx.shape}")
+
+
+def main():
+    # small fast config for CI-style tests
+    dump_generator(
+        "gen_small", T=1800,
+        input_channels=1, output_channels=1, encode_channels=4,
+        decode_channels=4, code_dim=16, codebook_num=4, codebook_size=32,
+        enc_ratios=(2, 4, 8, 16), dec_ratios=(16, 8, 4, 2),
+        enc_strides=(3, 4, 5, 5), dec_strides=(5, 5, 4, 3),
+        mode="causal", codec="audiodec",
+    )
+    # full-size symAD_vctk_48000_hop300 architecture
+    # (config/autoencoder/symAD_vctk_48000_hop300.yaml:28-44)
+    dump_generator(
+        "gen_symad", T=3600,
+        input_channels=1, output_channels=1, encode_channels=32,
+        decode_channels=32, code_dim=64, codebook_num=8, codebook_size=1024,
+        enc_ratios=(2, 4, 8, 16), dec_ratios=(16, 8, 4, 2),
+        enc_strides=(3, 4, 5, 5), dec_strides=(5, 5, 4, 3),
+        mode="causal", codec="audiodec",
+    )
+    # activate_audiodec (symAAD) variant with weight norm
+    dump_generator(
+        "gen_symaad", T=1800,
+        input_channels=1, output_channels=1, encode_channels=4,
+        decode_channels=4, code_dim=16, codebook_num=4, codebook_size=32,
+        enc_ratios=(2, 4, 8, 16), dec_ratios=(16, 8, 4, 2),
+        enc_strides=(3, 4, 5, 5), dec_strides=(5, 5, 4, 3),
+        mode="causal", codec="activate_audiodec", use_weight_norm=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
