@@ -118,6 +118,53 @@ def import_autoencoder(sd: Dict[str, np.ndarray], cfg) -> dict:
             "decoder": dec}
 
 
+def import_vocoder(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Reference HiFiGAN Generator state_dict -> vocoder params pytree
+    (key scheme per ref models/vocoder/HiFiGAN.py:84-123)."""
+    sd = fold_weight_norm(sd)
+    p = {
+        "input_conv": _conv(sd, "input_conv.conv"),
+        "upsamples": [],
+        "blocks": [],
+        "output_conv": _conv(sd, "output_conv.conv"),
+    }
+    for i in range(len(cfg.upsample_scales)):
+        p["upsamples"].append(_convT(sd, f"upsamples.{i}.deconv"))
+        pre = f"blocks.{i}"
+        if cfg.grouped:
+            blk = {
+                "convs1": [_conv(sd, f"{pre}.convs1.{j}.conv")
+                           for j in range(len(cfg.resblock_dilations[0]))],
+                "conv_out": _conv(sd, f"{pre}.conv_out"),
+            }
+            if cfg.use_additional_convs:
+                blk["convs2"] = [
+                    _conv(sd, f"{pre}.convs2.{j}.conv")
+                    for j in range(len(cfg.resblock_dilations[0]))]
+            else:
+                blk["convs2"] = []
+            p["blocks"].append(blk)
+        else:
+            blocks = []
+            for b in range(len(cfg.resblock_kernel_sizes)):
+                blk = {
+                    "convs1": [
+                        _conv(sd, f"{pre}.blocks.{b}.convs1.{j}.conv")
+                        for j in range(len(cfg.resblock_dilations[b]))],
+                    "convs2": [],
+                }
+                if cfg.use_additional_convs:
+                    blk["convs2"] = [
+                        _conv(sd, f"{pre}.blocks.{b}.convs2.{j}.conv")
+                        for j in range(len(cfg.resblock_dilations[b]))]
+                blocks.append(blk)
+            p["blocks"].append({"blocks": blocks})
+    if "mean" in sd:
+        p["mean"] = jnp.asarray(np.asarray(sd["mean"], np.float32))
+        p["scale"] = jnp.asarray(np.asarray(sd["scale"], np.float32))
+    return p
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a reference .pkl checkpoint (or raw state_dict) into numpy arrays.
 

@@ -15,8 +15,19 @@ os.environ["PYTHONDONTWRITEBYTECODE"] = "1"
 sys.dont_write_bytecode = True
 sys.path.insert(0, "/root/reference")
 
+import types
+
 import numpy as np
 import torch
+
+# torchaudio is absent in this image; the reference only needs it for the
+# UnivNet spectral discriminator, which we don't exercise here.
+if "torchaudio" not in sys.modules:
+    ta = types.ModuleType("torchaudio")
+    ta.functional = types.ModuleType("torchaudio.functional")
+    ta.functional.spectrogram = None
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.functional"] = ta.functional
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 os.makedirs(OUT, exist_ok=True)
@@ -78,6 +89,35 @@ def dump_generator(name, T=1800, **kwargs):
     print(f"{name}: T={T} params={n_params} idx shape={idx.shape}")
 
 
+def dump_vocoder(name, T=24, **kwargs):
+    from models.vocoder.HiFiGAN import StreamGenerator
+
+    model = StreamGenerator(**kwargs)
+    model.eval()
+    cin = kwargs.get("in_channels", 80)
+    c = np.random.default_rng(11).standard_normal((1, cin, T)).astype(
+        np.float32)
+    ct = torch.tensor(c)
+    with torch.no_grad():
+        y = model(ct)
+        model.reset_buffer()
+        ys = model.decode(ct.transpose(2, 1))
+        # hop-by-hop
+        model.reset_buffer()
+        chunks = []
+        for i in range(T):
+            chunks.append(model.decode(
+                ct[:, :, i:i + 1].transpose(2, 1)).numpy())
+        y_hops = np.concatenate(chunks, axis=-1)
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(OUT, f"{name}.npz"),
+        c=c, y=y.numpy(), y_stream=ys.numpy(), y_hops=y_hops,
+        **{"sd__" + k: v for k, v in sd.items()},
+    )
+    print(f"{name}: T={T} y={tuple(y.shape)}")
+
+
 def main():
     # small fast config for CI-style tests
     dump_generator(
@@ -107,6 +147,31 @@ def main():
         enc_strides=(3, 4, 5, 5), dec_strides=(5, 5, 4, 3),
         mode="causal", codec="activate_audiodec", use_weight_norm=True,
     )
+
+    # vocoder v0-style: MultiReceptiveField, small channels
+    dump_vocoder(
+        "voc_mrf", T=24,
+        in_channels=16, out_channels=1, channels=32, kernel_size=7,
+        upsample_scales=(5, 5, 4, 3), upsample_kernel_sizes=(10, 10, 8, 6),
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilations=[(1, 3, 5), (1, 3, 5), (1, 3, 5)],
+        groups=1, use_weight_norm=True,
+    )
+    # vocoder v1-style: MultiGroupConv1d + input stats normalization
+    stats = np.stack([
+        np.random.default_rng(3).standard_normal(16).astype(np.float32),
+        (0.5 + np.random.default_rng(4).random(16)).astype(np.float32),
+    ])
+    stats_path = os.path.join(OUT, "_tmp_stats.npy")
+    np.save(stats_path, stats)
+    dump_vocoder(
+        "voc_group", T=24,
+        in_channels=16, out_channels=1, channels=32, kernel_size=7,
+        upsample_scales=(5, 5, 4, 3), upsample_kernel_sizes=(10, 10, 8, 6),
+        resblock_kernel_sizes=[11], resblock_dilations=[[1, 3, 5]],
+        groups=3, use_weight_norm=True, stats=stats_path,
+    )
+    os.remove(stats_path)
 
 
 if __name__ == "__main__":
