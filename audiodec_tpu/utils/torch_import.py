@@ -165,6 +165,33 @@ def import_vocoder(sd: Dict[str, np.ndarray], cfg) -> dict:
     return p
 
 
+def import_hifigan_discriminator(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Reference HiFiGAN MSD+MPD Discriminator state_dict -> params pytree
+    (plain weights; norms folded).  cfg: HiFiGANDiscriminatorConfig."""
+    sd = fold_weight_norm(sd)
+    msd = {"discriminators": []}
+    n_scale_layers = len(cfg.msd.discriminator.layer_shapes())
+    for i in range(cfg.msd.scales):
+        layers = []
+        for j in range(n_scale_layers):
+            pre = f"msd.discriminators.{i}.layers.{j}"
+            # intermediate layers are Sequential(conv, act) -> ".0.conv"
+            key = pre + (".conv" if j == n_scale_layers - 1 else ".0.conv")
+            layers.append(_conv(sd, key))
+        msd["discriminators"].append({"layers": layers})
+    mpd = {"discriminators": []}
+    n_period_layers = len(cfg.mpd.discriminator.layer_shapes())
+    for i in range(len(cfg.mpd.periods)):
+        pre = f"mpd.discriminators.{i}"
+        layers = [_conv2d(sd, f"{pre}.convs.{j}.0.conv")
+                  for j in range(n_period_layers)]
+        mpd["discriminators"].append({
+            "layers": layers,
+            "output_conv": _conv2d(sd, f"{pre}.output_conv.conv"),
+        })
+    return {"msd": msd, "mpd": mpd}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a reference .pkl checkpoint (or raw state_dict) into numpy arrays.
 

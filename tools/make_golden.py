@@ -118,6 +118,46 @@ def dump_vocoder(name, T=24, **kwargs):
     print(f"{name}: T={T} y={tuple(y.shape)}")
 
 
+def dump_hifigan_discriminator(name, T=960):
+    from models.vocoder.HiFiGAN import Discriminator
+
+    torch.manual_seed(77)
+    model = Discriminator(
+        scale_discriminator_params={
+            "in_channels": 1, "out_channels": 1, "kernel_sizes": [15, 41, 5, 3],
+            "channels": 16, "max_downsample_channels": 64, "max_groups": 16,
+            "bias": True, "downsample_scales": [2, 2, 4, 4, 1],
+            "nonlinear_activation": "LeakyReLU",
+            "nonlinear_activation_params": {"negative_slope": 0.1},
+        },
+        follow_official_norm=False,
+        period_discriminator_params={
+            "in_channels": 1, "out_channels": 1, "kernel_sizes": [5, 3],
+            "channels": 8, "downsample_scales": [3, 3, 3, 3, 1],
+            "max_downsample_channels": 64, "bias": True,
+            "nonlinear_activation": "LeakyReLU",
+            "nonlinear_activation_params": {"negative_slope": 0.1},
+            "use_weight_norm": True, "use_spectral_norm": False,
+        },
+    )
+    model.eval()
+    x = np.random.default_rng(13).standard_normal((2, 1, T)).astype(
+        np.float32)
+    with torch.no_grad():
+        outs = model(torch.tensor(x))
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    flat = {}
+    for i, branch in enumerate(outs):
+        for j, t in enumerate(branch):
+            flat[f"out_{i}_{j}"] = t.numpy()
+    np.savez_compressed(
+        os.path.join(OUT, f"{name}.npz"), x=x,
+        n_branches=np.array(len(outs)),
+        **{f"n_layers_{i}": np.array(len(b)) for i, b in enumerate(outs)},
+        **flat, **{"sd__" + k: v for k, v in sd.items()})
+    print(f"{name}: {len(outs)} branches")
+
+
 def main():
     # small fast config for CI-style tests
     dump_generator(
@@ -172,6 +212,8 @@ def main():
         groups=3, use_weight_norm=True, stats=stats_path,
     )
     os.remove(stats_path)
+
+    dump_hifigan_discriminator("disc_hifigan")
 
 
 if __name__ == "__main__":
