@@ -1,0 +1,143 @@
+"""Chunk-parallel codec: intra-utterance sequence parallelism with
+receptive-field halo exchange (SURVEY.md §2.1 item 2, §7).
+
+Every op in the codec is a causal FIR conv, so sharding one waveform's time
+axis across devices only requires each shard to see its left neighbor's
+trailing context (the convolutional analogue of ring attention):
+
+  encode:  shard s gathers H = ceil((rf-1)/hop)*hop samples from the left
+           neighbor via `ppermute` (zeros arrive at shard 0, which exactly
+           reproduces the batch path's zero left-padding), runs the plain
+           batch causal encoder on [halo | chunk], and drops the first H/hop
+           frames — every kept frame then has its full receptive field of
+           real samples, so the result is bit-identical to an unsharded
+           encode.
+  decode:  the same at frame granularity: F halo frames, drop F*hop samples.
+
+One `ppermute` per stack (not per layer): the halo is exchanged once at the
+waveform/code level, fused into a single collective riding the ICI.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audiodec_tpu.models.autoencoder import (
+    GeneratorConfig,
+    decoder_apply,
+    encoder_apply,
+    projector_apply,
+)
+from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_apply
+from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
+
+
+def encoder_halo_samples(cfg: GeneratorConfig) -> int:
+    """Left-context halo in samples, rounded up to a hop multiple so the
+    stride phase of every frame is preserved across chunk seams."""
+    rf = cfg.receptive_field
+    hop = cfg.hop_length
+    return math.ceil((rf - 1) / hop) * hop
+
+
+def decoder_halo_frames(cfg: GeneratorConfig) -> int:
+    """Decoder receptive field in input code frames (conservative ceil walk
+    through conv1 -> blocks(convT + res units) -> conv2)."""
+    rf = 1 + (cfg.kernel_size - 1)  # conv2 at output rate
+    for stride in reversed(tuple(cfg.dec_strides)):
+        for d in tuple(cfg.res_dilations):
+            rf += (cfg.res_kernel_size - 1) * d
+        rf = math.ceil(rf / stride) + (math.ceil(2 * stride / stride) - 1)
+    rf += cfg.kernel_size - 1  # conv1 at frame rate
+    return rf
+
+
+def vocoder_halo_frames(cfg: VocoderConfig) -> int:
+    """HiFiGAN vocoder receptive field in input code frames."""
+    rf = 1 + (cfg.kernel_size - 1)  # output conv
+    for i in reversed(range(len(cfg.upsample_scales))):
+        s = cfg.upsample_scales[i]
+        for b, k in enumerate(cfg.resblock_kernel_sizes):
+            for d in cfg.resblock_dilations[b]:
+                rf += (k - 1) * d
+                if cfg.use_additional_convs:
+                    rf += (k - 1)
+        rf = math.ceil(rf / s) + (math.ceil(cfg.upsample_kernel_sizes[i] / s)
+                                  - 1)
+    rf += cfg.kernel_size - 1  # input conv
+    return rf
+
+
+def _left_halo(x, halo: int, axis_name: str):
+    """Fetch the last `halo` steps of the left neighbor's shard.  Shard 0
+    receives zeros (ppermute drops untargeted destinations), matching the
+    batch path's zero left-padding."""
+    n = jax.lax.axis_size(axis_name)
+    tail = x[:, x.shape[1] - halo:, :]
+    return jax.lax.ppermute(tail, axis_name,
+                            perm=[(i, i + 1) for i in range(n - 1)])
+
+
+def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
+                       vocoder: Optional[Tuple[dict, VocoderConfig]] = None):
+    """Build jitted sharded encode/decode over a ('data','seq') mesh.
+
+    Returns (encode, decode):
+      encode(x: (B, T, C) sharded (data, seq)) -> idx (B, T//hop, Q)
+      decode(idx) -> y (B, T, C)
+    T must be divisible by seq_size * hop.  Results are bit-identical to the
+    single-device batch path.
+    """
+    hop = cfg.hop_length
+    h_samples = encoder_halo_samples(cfg)
+    h_frames_enc = h_samples // hop
+    if vocoder is None:
+        h_dec = decoder_halo_frames(cfg)
+    else:
+        voc_params, voc_cfg = vocoder
+        h_dec = vocoder_halo_frames(voc_cfg)
+
+    def enc_local(params, x):
+        halo = _left_halo(x, h_samples, "seq")
+        xp = jnp.concatenate([halo, x], axis=1)
+        h = encoder_apply(params["encoder"], xp, cfg)
+        z = projector_apply(params["projector"], h, cfg)
+        _, idx = rvq_forward_index(z, params["quantizer"])
+        return idx[:, h_frames_enc:, :]
+
+    def dec_local(params, idx):
+        halo = _left_halo(idx, h_dec, "seq")
+        idxp = jnp.concatenate([halo, idx], axis=1)
+        zq = rvq_lookup(idxp, params["quantizer"])
+        if vocoder is None:
+            y = decoder_apply(params["decoder"], zq, cfg)
+        else:
+            y = vocoder_apply(params["voc"], zq, voc_cfg)
+        return y[:, h_dec * hop:, :]
+
+    wav_spec = P("data", "seq", None)
+    idx_spec = P("data", "seq", None)
+
+    if vocoder is not None:
+        params = dict(params, voc=vocoder[0])
+
+    @jax.jit
+    def encode(x):
+        return shard_map(enc_local, mesh=mesh,
+                         in_specs=(P(), wav_spec), out_specs=idx_spec,
+                         check_vma=False)(params, x)
+
+    @jax.jit
+    def decode(idx):
+        return shard_map(dec_local, mesh=mesh,
+                         in_specs=(P(), idx_spec), out_specs=wav_spec,
+                         check_vma=False)(params, idx)
+
+    return encode, decode

@@ -1,0 +1,300 @@
+"""Jitted GAN training steps for the three workloads: autoencoder, vocoder,
+denoise (behavior per ref trainer/{autoencoder,vocoder,denoise}.py).
+
+Functional design: one `TrainState` dict pytree; Python-side phase selection
+(metric-only vs adversarial) picks between two jitted step functions instead
+of tracing a data-dependent cond — the phase switch happens once at a known
+step (ref: trainer/autoencoder.py:56-79), so each phase gets its own XLA
+program.
+
+Freezing semantics replicate the reference exactly:
+- autoencoder adv phase (paradigm 'efficient'): encoder/projector/quantizer
+  frozen, codebook EMA stopped (codebook.eval()),
+- vocoder: analyzer fully frozen,
+- denoise: quantizer + decoder frozen, codebook EMA stopped.
+Frozen subtrees get both their gradients and their post-Adam updates zeroed,
+so leftover momentum cannot move frozen weights.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audiodec_tpu.models.autoencoder import (
+    GeneratorConfig,
+    decoder_apply,
+    encoder_apply,
+    generator_forward,
+    projector_apply,
+)
+from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_apply
+from audiodec_tpu.ops.norms import resolve_params
+from audiodec_tpu.ops.vq import rvq_forward
+from audiodec_tpu.train import criterion as C
+
+
+def _zero_subtrees(tree, keys):
+    out = dict(tree)
+    for k in keys:
+        out[k] = jax.tree_util.tree_map(jnp.zeros_like, tree[k])
+    return out
+
+
+def _psum_mean(metrics, axis_name):
+    if axis_name is None:
+        return metrics
+    return {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
+
+
+def _ppl_record(record, ppl):
+    for i in range(ppl.shape[0]):
+        record[f"ppl_{i}"] = ppl[i]
+
+
+# ---------------------------------------------------------------------------
+# autoencoder (ref: trainer/autoencoder.py:49-131)
+# ---------------------------------------------------------------------------
+
+def make_autoencoder_steps(gen_cfg: GeneratorConfig, disc_apply: Callable,
+                           config: dict, crit: dict,
+                           gen_opt: optax.GradientTransformation,
+                           disc_opt: optax.GradientTransformation,
+                           axis_name: Optional[str] = None,
+                           jit: bool = True):
+    """Returns {'metric': fn, 'adv': fn, 'eval': fn} over TrainState dicts:
+    state = {gen, disc, gen_opt, disc_opt}."""
+
+    def gen_loss_metric(gen_params, x):
+        record = {}
+        eff, _ = resolve_params(gen_params)
+        y, zq, z, vql, ppl, new_q = generator_forward(
+            eff, x, gen_cfg, train=True, axis_name=axis_name)
+        _ppl_record(record, ppl)
+        loss = C.vq_loss(config, vql, record)
+        loss = loss + C.metric_loss(crit, config, y, x, record)
+        record["generator_loss"] = loss
+        return loss, (record, new_q)
+
+    def metric_step(state, x):
+        (loss, (record, new_q)), grads = jax.value_and_grad(
+            gen_loss_metric, has_aux=True)(state["gen"], x)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, gen_opt_state = gen_opt.update(grads, state["gen_opt"],
+                                                state["gen"])
+        gen = optax.apply_updates(state["gen"], updates)
+        gen["quantizer"] = new_q  # EMA buffers, not optimizer-driven
+        new_state = dict(state, gen=gen, gen_opt=gen_opt_state)
+        return new_state, _psum_mean(record, axis_name)
+
+    def gen_loss_adv(gen_params, disc_params, x):
+        record = {}
+        eff, _ = resolve_params(gen_params)
+        # efficient paradigm: codebook eval (no EMA), encoder frozen
+        y, zq, z, vql, ppl, _ = generator_forward(eff, x, gen_cfg,
+                                                  train=False)
+        _ppl_record(record, ppl)
+        loss = C.vq_loss(config, vql, record)
+        loss = loss + C.metric_loss(crit, config, y, x, record)
+        disc_eff, _ = resolve_params(disc_params)
+        p_hat = disc_apply(disc_eff, y)
+        p = (jax.lax.stop_gradient(disc_apply(disc_eff, x))
+             if "feat_match" in crit else None)
+        loss = loss + C.adv_loss(crit, config, p_hat, p, record)
+        record["generator_loss"] = loss
+        return loss, (record, y)
+
+    frozen = ("encoder", "projector", "quantizer")
+
+    def adv_step(state, x):
+        (loss, (record, y)), grads = jax.value_and_grad(
+            gen_loss_adv, has_aux=True)(state["gen"], state["disc"], x)
+        grads = _zero_subtrees(grads, frozen)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, gen_opt_state = gen_opt.update(grads, state["gen_opt"],
+                                                state["gen"])
+        updates = _zero_subtrees(updates, frozen)
+        gen = optax.apply_updates(state["gen"], updates)
+
+        # discriminator update on re-computed y_ (ref autoencoder.py:117-126)
+        gen_eff, _ = resolve_params(gen)
+        y_, _, _, _, _, _ = generator_forward(gen_eff, x, gen_cfg,
+                                              train=False)
+        y_ = jax.lax.stop_gradient(y_)
+
+        def disc_loss_fn(disc_params):
+            rec = {}
+            eff, new_disc = resolve_params(disc_params)
+            p = disc_apply(eff, x)
+            p_hat = disc_apply(eff, y_)
+            return C.dis_loss(crit, p_hat, p, rec), (rec, new_disc)
+
+        (dloss, (drec, new_disc)), dgrads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state["disc"])
+        if axis_name is not None:
+            dgrads = jax.lax.pmean(dgrads, axis_name)
+        dupdates, disc_opt_state = disc_opt.update(dgrads, state["disc_opt"],
+                                                   state["disc"])
+        disc = optax.apply_updates(new_disc, dupdates)
+        record.update(drec)
+        new_state = dict(state, gen=gen, disc=disc, gen_opt=gen_opt_state,
+                         disc_opt=disc_opt_state)
+        return new_state, _psum_mean(record, axis_name)
+
+    def eval_step(state, x):
+        record = {}
+        eff, _ = resolve_params(state["gen"])
+        y, zq, z, vql, ppl, _ = generator_forward(eff, x, gen_cfg,
+                                                  train=False)
+        _ppl_record(record, ppl)
+        loss = C.vq_loss(config, vql, record)
+        loss = loss + C.metric_loss(crit, config, y, x, record)
+        record["generator_loss"] = loss
+        return _psum_mean(record, axis_name)
+
+    if jit:
+        metric_step = jax.jit(metric_step, donate_argnums=0)
+        adv_step = jax.jit(adv_step, donate_argnums=0)
+        eval_step = jax.jit(eval_step)
+    return {"metric": metric_step, "adv": adv_step, "eval": eval_step}
+
+
+# ---------------------------------------------------------------------------
+# vocoder (ref: trainer/vocoder.py:49-146)
+# ---------------------------------------------------------------------------
+
+def analyzer_codes(analyzer_params, x, gen_cfg: GeneratorConfig):
+    """Frozen analyzer encode path: encoder -> projector -> quantize-dequant
+    (ref: trainer/vocoder.py:69-73)."""
+    h = encoder_apply(analyzer_params["encoder"], x, gen_cfg)
+    z = projector_apply(analyzer_params["projector"], h, gen_cfg)
+    zq, _, _, _ = rvq_forward(z, analyzer_params["quantizer"], train=False)
+    return jax.lax.stop_gradient(zq)
+
+
+def make_vocoder_steps(voc_cfg: VocoderConfig, gen_cfg: GeneratorConfig,
+                       disc_apply: Callable, config: dict, crit: dict,
+                       gen_opt, disc_opt, axis_name: Optional[str] = None,
+                       jit: bool = True):
+    """TrainState: {gen (vocoder), disc, analyzer, gen_opt, disc_opt}."""
+
+    def gen_loss(gen_params, disc_params, zq, x, adversarial: bool):
+        record = {}
+        eff, _ = resolve_params(gen_params)
+        y = vocoder_apply(eff, zq, voc_cfg)
+        loss = C.metric_loss(crit, config, y, x, record)
+        if adversarial:
+            disc_eff, _ = resolve_params(disc_params)
+            p_hat = disc_apply(disc_eff, y)
+            p = (jax.lax.stop_gradient(disc_apply(disc_eff, x))
+                 if "feat_match" in crit else None)
+            loss = loss + C.adv_loss(crit, config, p_hat, p, record)
+        record["generator_loss"] = loss
+        return loss, record
+
+    def _gen_update(state, zq, x, adversarial):
+        (loss, record), grads = jax.value_and_grad(
+            gen_loss, has_aux=True)(state["gen"], state["disc"], zq, x,
+                                    adversarial)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, gen_opt_state = gen_opt.update(grads, state["gen_opt"],
+                                                state["gen"])
+        gen = optax.apply_updates(state["gen"], updates)
+        return dict(state, gen=gen, gen_opt=gen_opt_state), record
+
+    def metric_step(state, x):
+        zq = analyzer_codes(state["analyzer"], x, gen_cfg)
+        state, record = _gen_update(state, zq, x, adversarial=False)
+        return state, _psum_mean(record, axis_name)
+
+    def adv_step(state, x):
+        zq = analyzer_codes(state["analyzer"], x, gen_cfg)
+        state, record = _gen_update(state, zq, x, adversarial=True)
+
+        gen_eff, _ = resolve_params(state["gen"])
+        y_ = jax.lax.stop_gradient(vocoder_apply(gen_eff, zq, voc_cfg))
+
+        def disc_loss_fn(disc_params):
+            rec = {}
+            eff, new_disc = resolve_params(disc_params)
+            p = disc_apply(eff, x)
+            p_hat = disc_apply(eff, y_)
+            return C.dis_loss(crit, p_hat, p, rec), (rec, new_disc)
+
+        (dloss, (drec, new_disc)), dgrads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state["disc"])
+        if axis_name is not None:
+            dgrads = jax.lax.pmean(dgrads, axis_name)
+        dupdates, disc_opt_state = disc_opt.update(dgrads, state["disc_opt"],
+                                                   state["disc"])
+        disc = optax.apply_updates(new_disc, dupdates)
+        record.update(drec)
+        return (dict(state, disc=disc, disc_opt=disc_opt_state),
+                _psum_mean(record, axis_name))
+
+    def eval_step(state, x):
+        record = {}
+        zq = analyzer_codes(state["analyzer"], x, gen_cfg)
+        eff, _ = resolve_params(state["gen"])
+        y = vocoder_apply(eff, zq, voc_cfg)
+        loss = C.metric_loss(crit, config, y, x, record)
+        record["generator_loss"] = loss
+        return _psum_mean(record, axis_name)
+
+    if jit:
+        metric_step = jax.jit(metric_step, donate_argnums=0)
+        adv_step = jax.jit(adv_step, donate_argnums=0)
+        eval_step = jax.jit(eval_step)
+    return {"metric": metric_step, "adv": adv_step, "eval": eval_step}
+
+
+# ---------------------------------------------------------------------------
+# denoise (ref: trainer/denoise.py:52-111)
+# ---------------------------------------------------------------------------
+
+def make_denoise_steps(gen_cfg: GeneratorConfig, config: dict, crit: dict,
+                       gen_opt, axis_name: Optional[str] = None,
+                       jit: bool = True):
+    """TrainState: {gen, gen_opt}.  Noisy input x_n, clean target x_c;
+    quantizer + decoder frozen, codebook EMA stopped."""
+    frozen = ("quantizer", "decoder")
+
+    def loss_fn(gen_params, x_n, x_c):
+        record = {}
+        eff, _ = resolve_params(gen_params)
+        y, zq, z, vql, ppl, _ = generator_forward(eff, x_n, gen_cfg,
+                                                  train=False)
+        _ppl_record(record, ppl)
+        loss = C.vq_loss(config, vql, record)
+        loss = loss + C.metric_loss(crit, config, y, x_c, record)
+        record["generator_loss"] = loss
+        return loss, record
+
+    def train_step(state, x_n, x_c):
+        (loss, record), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["gen"], x_n, x_c)
+        grads = _zero_subtrees(grads, frozen)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, gen_opt_state = gen_opt.update(grads, state["gen_opt"],
+                                                state["gen"])
+        updates = _zero_subtrees(updates, frozen)
+        gen = optax.apply_updates(state["gen"], updates)
+        return (dict(state, gen=gen, gen_opt=gen_opt_state),
+                _psum_mean(record, axis_name))
+
+    def eval_step(state, x_n, x_c):
+        _, record = loss_fn(state["gen"], x_n, x_c)
+        return _psum_mean(record, axis_name)
+
+    if jit:
+        train_step = jax.jit(train_step, donate_argnums=0)
+        eval_step = jax.jit(eval_step)
+    return {"train": train_step, "eval": eval_step}
