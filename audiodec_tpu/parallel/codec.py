@@ -76,13 +76,27 @@ def vocoder_halo_frames(cfg: VocoderConfig) -> int:
 
 
 def _left_halo(x, halo: int, axis_name: str):
-    """Fetch the last `halo` steps of the left neighbor's shard.  Shard 0
-    receives zeros (ppermute drops untargeted destinations), matching the
-    batch path's zero left-padding."""
+    """Fetch the last `halo` steps of left-neighbor context.  Shards with no
+    source receive zeros (ppermute drops untargeted destinations), matching
+    the batch path's zero left-padding.
+
+    When the halo exceeds one shard's length the context spans several left
+    neighbors, so the shift is chained: hop h delivers the shard h steps to
+    the left."""
     n = jax.lax.axis_size(axis_name)
-    tail = x[:, x.shape[1] - halo:, :]
-    return jax.lax.ppermute(tail, axis_name,
-                            perm=[(i, i + 1) for i in range(n - 1)])
+    shard_len = x.shape[1]
+    perm = [(i, i + 1) for i in range(n - 1)]
+    if halo <= shard_len:
+        tail = x[:, shard_len - halo:, :]
+        return jax.lax.ppermute(tail, axis_name, perm=perm)
+    hops = math.ceil(halo / shard_len)
+    parts = []
+    cur = x
+    for _ in range(hops):
+        cur = jax.lax.ppermute(cur, axis_name, perm=perm)
+        parts.insert(0, cur)
+    ctx = jnp.concatenate(parts, axis=1)
+    return ctx[:, ctx.shape[1] - halo:, :]
 
 
 def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,

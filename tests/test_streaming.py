@@ -1,0 +1,105 @@
+"""Streaming engine: hop-by-hop == scan == batch-graph streaming parity,
+plus the simulated streamer pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.models.autoencoder import (
+    GeneratorConfig,
+    codec_state_init,
+    generator_init,
+)
+from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_init
+from audiodec_tpu.streaming import SimulatedStreamer, StreamingCodec
+from audiodec_tpu.streaming.engine import (
+    scan_streaming_decode,
+    scan_streaming_encode,
+)
+
+CFG = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                      codebook_num=2, codebook_size=16)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return generator_init(jax.random.PRNGKey(3), CFG)
+
+
+def test_hop_by_hop_equals_scan(params):
+    hop = CFG.hop_length
+    n = 8
+    x = 0.2 * np.random.default_rng(0).standard_normal(
+        (1, n * hop, 1)).astype(np.float32)
+
+    codec = StreamingCodec(params, CFG)
+    idxs, ys = [], []
+    for i in range(n):
+        idx = codec.encode(jnp.asarray(x[:, i * hop:(i + 1) * hop]))
+        idxs.append(np.asarray(idx))
+        ys.append(np.asarray(codec.decode(idx)))
+    idx_hop = np.concatenate(idxs, axis=1)
+    y_hop = np.concatenate(ys, axis=1)
+
+    idx_scan = scan_streaming_encode(params, CFG, jnp.asarray(x))
+    np.testing.assert_array_equal(idx_hop, np.asarray(idx_scan))
+    y_scan = scan_streaming_decode(params, CFG, idx_scan)
+    np.testing.assert_allclose(y_hop, np.asarray(y_scan), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_multi_hop_chunks_equal_single_hops(params):
+    """Encoding 4 hops at once == 4 single-hop calls (state consistency)."""
+    hop = CFG.hop_length
+    x = 0.2 * np.random.default_rng(1).standard_normal(
+        (1, 4 * hop, 1)).astype(np.float32)
+    c1 = StreamingCodec(params, CFG)
+    idx_once = np.asarray(c1.encode(jnp.asarray(x)))
+    c2 = StreamingCodec(params, CFG)
+    idx_hops = np.concatenate(
+        [np.asarray(c2.encode(jnp.asarray(x[:, i * hop:(i + 1) * hop])))
+         for i in range(4)], axis=1)
+    np.testing.assert_array_equal(idx_once, idx_hops)
+
+
+def test_streaming_vocoder_decode(params):
+    voc_cfg = VocoderConfig(in_channels=CFG.code_dim, channels=8,
+                            upsample_scales=(5, 5, 4, 3),
+                            upsample_kernel_sizes=(10, 10, 8, 6),
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilations=((1, 3),), groups=2)
+    voc = vocoder_init(jax.random.PRNGKey(8), voc_cfg)
+    p = dict(params, vocoder=voc)
+    codec = StreamingCodec(p, CFG, voc_cfg=voc_cfg)
+    hop = CFG.hop_length
+    x = 0.2 * np.random.default_rng(2).standard_normal(
+        (1, 3 * hop, 1)).astype(np.float32)
+    idx = codec.encode(jnp.asarray(x))
+    y = codec.decode(idx)
+    assert y.shape == (1, 3 * hop, 1)
+    # scan decode equals stateful decode
+    codec.reset()
+    idx2 = codec.encode(jnp.asarray(x))
+    y_scan = scan_streaming_decode(p, CFG, idx2, voc_cfg=voc_cfg)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_scan), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_simulated_streamer(params):
+    codec = StreamingCodec(params, CFG)
+    hop = CFG.hop_length
+    x = 0.2 * np.random.default_rng(3).standard_normal(
+        (6 * hop, 1)).astype(np.float32)
+    streamer = SimulatedStreamer(codec, frame_size=2 * hop,
+                                 max_latency_ms=10000)
+    y = streamer.run(x)
+    assert y.shape == (6 * hop, 1)
+    stats = streamer.stats()
+    assert stats["frames"] == 3
+    assert stats["drop_ratio"] == 0.0
+    assert stats["encode_ms_mean"] > 0
+    # frame_size must be a hop multiple (ref demoStream.py:53-54)
+    with pytest.raises(AssertionError):
+        SimulatedStreamer(codec, frame_size=hop + 1)
