@@ -1,0 +1,120 @@
+"""Code-statistics extraction (capability twin of ref codecStatistic.py).
+
+Runs the frozen analyzer encoder->projector->quantize-dequantize over a
+training subset and accumulates a running mean/std of the quantized codes zq
+(Welford; equivalent to sklearn StandardScaler.partial_fit at
+ref codecStatistic.py:92-112), saving np.stack([mean, scale]) -> stats .npy
+(shape (2, code_dim) float32) consumed by the vocoder's input normalization.
+
+Usage:
+  python -m audiodec_tpu.bin.codec_stats --config <statistic yaml> \
+      [--analyzer <ckpt>] [--data-path DIR] [--out stats.npy]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.data import SingleDataset
+from audiodec_tpu.models.autoencoder import (
+    encoder_apply,
+    generator_init,
+    projector_apply,
+)
+from audiodec_tpu.ops.vq import rvq_forward_index
+from audiodec_tpu.train.checkpoint import load_only_params
+from audiodec_tpu.utils.config import (
+    generator_config,
+    load_config,
+    load_config_near_checkpoint,
+)
+
+
+class RunningMoments:
+    """Chan-parallel Welford accumulation over frames."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.mean = np.zeros(dim, np.float64)
+        self.m2 = np.zeros(dim, np.float64)
+
+    def update(self, frames: np.ndarray):  # (N, D)
+        n_b = len(frames)
+        if n_b == 0:
+            return
+        mean_b = frames.mean(axis=0)
+        m2_b = ((frames - mean_b) ** 2).sum(axis=0)
+        if self.n == 0:
+            self.n, self.mean, self.m2 = n_b, mean_b, m2_b
+            return
+        delta = mean_b - self.mean
+        tot = self.n + n_b
+        self.mean += delta * n_b / tot
+        self.m2 += m2_b + delta ** 2 * self.n * n_b / tot
+        self.n = tot
+
+    def finalize(self):
+        scale = np.sqrt(self.m2 / self.n)
+        return self.mean.astype(np.float32), scale.astype(np.float32)
+
+
+def extract_stats(params, cfg, dataset, hop_multiple: int = 1) -> np.ndarray:
+    @jax.jit
+    def codes(x):
+        h = encoder_apply(params["encoder"], x, cfg)
+        z = projector_apply(params["projector"], h, cfg)
+        zq, _ = rvq_forward_index(z, params["quantizer"])
+        return zq
+
+    hop = cfg.hop_length * hop_multiple
+    mom = RunningMoments(cfg.code_dim)
+    for i in range(len(dataset)):
+        x = dataset[i]
+        t = (len(x) // hop) * hop
+        if t == 0:
+            continue
+        zq = codes(jnp.asarray(x[None, :t]))
+        mom.update(np.asarray(zq[0], np.float64))
+    mean, scale = mom.finalize()
+    return np.stack([mean, scale])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--analyzer", default=None)
+    parser.add_argument("--data-path", default=None)
+    parser.add_argument("--subset", default="train")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    config = load_config(args.config)
+    analyzer_ckpt = args.analyzer or config["analyzer"]
+    an_config = load_config_near_checkpoint(analyzer_ckpt)
+    cfg = generator_config(an_config)
+
+    from flax import serialization
+    template = generator_init(jax.random.PRNGKey(0), cfg)
+    params, _ = load_only_params(analyzer_ckpt, "gen")
+    params = serialization.from_state_dict(template, params)
+
+    data_path = args.data_path or os.path.join(
+        config["data"]["path"], config["data"]["subset"][args.subset])
+    dataset = SingleDataset(data_path)
+    stats = extract_stats(params, cfg, dataset)
+    out = args.out or config.get("stats", "stats.npy")
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    np.save(out, stats)
+    logging.info("saved stats %s (shape %s)", out, stats.shape)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Batch transcode / eval runner (capability twin of ref codecTest.py +
+bin/test.py, redesigned for TPU batch execution).
+
+Instead of a serial per-utterance loop, utterances are bucketed by length,
+padded to bucket boundaries, and transcoded in jitted batches on the device
+mesh (data-parallel over utterances, optional chunk-halo sequence parallelism
+for long files).  RTF is reported per batch and overall, and decoded wavs are
+written as <utt>_output.wav PCM16 like the reference (ref: bin/test.py:96-106).
+
+Usage:
+  python -m audiodec_tpu.bin.codec_test --encoder <ckpt> --decoder <ckpt> \
+      --subset test [--data-path DIR] [--outdir DIR] [--seq N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.data import SingleDataset, write_wav
+from audiodec_tpu.models.autoencoder import (
+    GeneratorConfig,
+    decoder_apply,
+    encoder_apply,
+    projector_apply,
+)
+from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_apply
+from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
+from audiodec_tpu.parallel import make_mesh, make_sharded_codec
+from audiodec_tpu.train.checkpoint import load_only_params
+from audiodec_tpu.utils.config import (
+    generator_config,
+    load_config_near_checkpoint,
+)
+
+
+def bucket_batches(dataset, batch_size: int, chunk: int):
+    """Group utterances into batches of equal padded length (multiples of
+    `chunk`), longest first to minimize padding waste."""
+    items = []
+    for i in range(len(dataset)):
+        uid, data = dataset[i]
+        items.append((uid, data))
+    items.sort(key=lambda kv: -len(kv[1]))
+    for i in range(0, len(items), batch_size):
+        group = items[i:i + batch_size]
+        max_len = max(len(d) for _, d in group)
+        padded = math.ceil(max_len / chunk) * chunk
+        batch = np.zeros((len(group), padded, group[0][1].shape[-1]),
+                         np.float32)
+        lens = []
+        for j, (_, d) in enumerate(group):
+            batch[j, :len(d)] = d
+            lens.append(len(d))
+        yield [u for u, _ in group], batch, lens
+
+
+class BatchTranscoder:
+    """Jitted batch encode/decode, optionally vocoder-decoded and/or
+    seq-sharded."""
+
+    def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None):
+        self.params = params
+        self.cfg = cfg
+        self.voc = voc
+        self.mesh = mesh
+        if mesh is not None:
+            self.encode, self.decode = make_sharded_codec(
+                mesh, params, cfg, vocoder=voc)
+        else:
+            @jax.jit
+            def encode(x):
+                h = encoder_apply(params["encoder"], x, cfg)
+                z = projector_apply(params["projector"], h, cfg)
+                _, idx = rvq_forward_index(z, params["quantizer"])
+                return idx
+
+            @jax.jit
+            def decode(idx):
+                zq = rvq_lookup(idx, params["quantizer"])
+                if voc is None:
+                    return decoder_apply(params["decoder"], zq, cfg)
+                voc_params, voc_cfg = voc
+                return vocoder_apply(voc_params, zq, voc_cfg)
+
+            self.encode, self.decode = encode, decode
+
+    def __call__(self, x: np.ndarray):
+        idx = self.encode(jnp.asarray(x))
+        y = self.decode(idx)
+        return idx, y
+
+
+def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1):
+    """Build params + configs from checkpoint pair (symAE or AE+vocoder,
+    ref: codecTest.py:52-75)."""
+    enc_config = load_config_near_checkpoint(encoder_ckpt)
+    cfg = generator_config(enc_config)
+    params, _ = load_only_params(encoder_ckpt, "gen")
+    from flax import serialization
+    from audiodec_tpu.models.autoencoder import generator_init
+    template = generator_init(jax.random.PRNGKey(0), cfg)
+    params = serialization.from_state_dict(template, params)
+
+    voc = None
+    if os.path.abspath(decoder_ckpt) != os.path.abspath(encoder_ckpt):
+        dec_config = load_config_near_checkpoint(decoder_ckpt)
+        if dec_config.get("model_type") in ("HiFiGAN", "UnivNet"):
+            voc_cfg = generator_config(dec_config)
+            from audiodec_tpu.models.vocoder import vocoder_init
+            voc_t = vocoder_init(jax.random.PRNGKey(0), voc_cfg)
+            voc_params, _ = load_only_params(decoder_ckpt, "gen")
+            voc_params = serialization.from_state_dict(voc_t, voc_params)
+            voc = (voc_params, voc_cfg)
+    mesh = None
+    if seq > 1 or len(jax.devices()) > 1:
+        data = max(1, len(jax.devices()) // seq)
+        mesh = make_mesh(data=data, seq=seq)
+    return BatchTranscoder(params, cfg, voc=voc, mesh=mesh), enc_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--encoder", required=True)
+    parser.add_argument("--decoder", required=True)
+    parser.add_argument("--data-path", default=None)
+    parser.add_argument("--subset", default="test")
+    parser.add_argument("--outdir", default=None)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--seq", type=int, default=1,
+                        help="sequence-parallel shards per utterance")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    transcoder, config = load_codec(args.encoder, args.decoder, args.seq)
+    cfg = transcoder.cfg
+    sr = config.get("sampling_rate", 48000)
+
+    data_path = args.data_path or os.path.join(
+        config["data"]["path"], config["data"]["subset"][args.subset])
+    dataset = SingleDataset(data_path, return_utt_id=True)
+    outdir = args.outdir or (
+        os.path.splitext(os.path.basename(args.encoder))[0] + "-"
+        + os.path.splitext(os.path.basename(args.decoder))[0])
+    os.makedirs(outdir, exist_ok=True)
+
+    chunk = cfg.hop_length * max(1, args.seq)
+    total_audio, total_time = 0.0, 0.0
+    n_utts = 0
+    for uids, batch, lens in bucket_batches(dataset, args.batch_size, chunk):
+        t0 = time.perf_counter()
+        idx, y = transcoder(batch)
+        y = np.asarray(y)
+        dt = time.perf_counter() - t0
+        audio_secs = sum(lens) / sr
+        total_audio += audio_secs
+        total_time += dt
+        n_utts += len(uids)
+        logging.info("batch of %d (T=%d): %.3fs, RTF=%.1fx", len(uids),
+                     batch.shape[1], dt, audio_secs / dt)
+        for j, uid in enumerate(uids):
+            write_wav(os.path.join(outdir, f"{uid}_output.wav"),
+                      y[j, :lens[j]], sr)
+    rtf = total_audio / total_time if total_time else 0.0
+    print(json.dumps({"utterances": n_utts, "audio_seconds": total_audio,
+                      "wall_seconds": total_time, "rtf": rtf}))
+
+
+if __name__ == "__main__":
+    main()
