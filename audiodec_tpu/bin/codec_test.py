@@ -95,12 +95,22 @@ class BatchTranscoder:
             self.encode, self.decode = encode, decode
 
     def __call__(self, x: np.ndarray):
+        pad = 0
+        if self.mesh is not None:
+            data = self.mesh.shape["data"]
+            pad = (-x.shape[0]) % data
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
         idx = self.encode(jnp.asarray(x))
         y = self.decode(idx)
+        if pad:
+            idx, y = idx[:-pad], y[:-pad]
         return idx, y
 
 
-def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1):
+def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
+               dp: int = 1):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -122,9 +132,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1):
             voc_params = serialization.from_state_dict(voc_t, voc_params)
             voc = (voc_params, voc_cfg)
     mesh = None
-    if seq > 1 or len(jax.devices()) > 1:
-        data = max(1, len(jax.devices()) // seq)
-        mesh = make_mesh(data=data, seq=seq)
+    if seq > 1 or dp > 1:
+        mesh = make_mesh(data=dp, seq=seq)
     return BatchTranscoder(params, cfg, voc=voc, mesh=mesh), enc_config
 
 
@@ -138,10 +147,13 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--seq", type=int, default=1,
                         help="sequence-parallel shards per utterance")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel devices")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
-    transcoder, config = load_codec(args.encoder, args.decoder, args.seq)
+    transcoder, config = load_codec(args.encoder, args.decoder, args.seq,
+                                    args.dp)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 

