@@ -31,11 +31,9 @@ def bench_conv(B, T, C_in, C_out, k, dtype, stride=1, dilation=1, iters=5):
 if __name__ == "__main__":
     B, T = 16, 480000
     for (ci, co, k, s, d) in [(32, 32, 7, 1, 1), (32, 32, 7, 1, 9),
-                              (64, 64, 7, 1, 1), (128, 128, 7, 1, 1),
-                              (256, 256, 7, 1, 1), (512, 512, 7, 1, 1),
-                              (32, 64, 6, 3, 1)]:
+                              (128, 128, 7, 1, 1), (512, 512, 7, 1, 1)]:
         t_scaled = T // max(1, ci // 32)  # keep work comparable
         for dt_ in (jnp.float32, jnp.bfloat16):
             ms, tf = bench_conv(B, t_scaled, ci, co, k, dt_, s, d)
             print(f"C{ci}->{co} k{k} s{s} d{d} T{t_scaled} "
-                  f"{dt_.__name__}: {ms:7.1f} ms  {tf:6.2f} TFLOP/s")
+                  f"{dt_.__name__}: {ms:7.1f} ms  {tf:6.2f} TFLOP/s", flush=True)

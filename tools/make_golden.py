@@ -89,6 +89,24 @@ def dump_generator(name, T=1800, **kwargs):
     print(f"{name}: T={T} params={n_params} idx shape={idx.shape}")
 
 
+def dump_noncausal_generator(name, T=1800, **kwargs):
+    """Noncausal-mode generator: batch forward only (no streaming API)."""
+    from models.autoencoder.AudioDec import Generator
+
+    model = Generator(mode="noncausal", **kwargs)
+    model.eval()
+    x = np.random.default_rng(9).standard_normal((1, 1, T)).astype(np.float32)
+    with torch.no_grad():
+        y, zq, z, vqloss, ppl = model(torch.tensor(x))
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(OUT, f"{name}.npz"),
+        x=x, y=y.numpy(), zq=zq.numpy(), z=z.numpy(),
+        vqloss=vqloss.numpy(), perplexity=ppl.numpy(),
+        **{"sd__" + k: v for k, v in sd.items()})
+    print(f"{name}: noncausal T={T}")
+
+
 def dump_vocoder(name, T=24, **kwargs):
     from models.vocoder.HiFiGAN import StreamGenerator
 
@@ -214,6 +232,15 @@ def main():
     os.remove(stats_path)
 
     dump_hifigan_discriminator("disc_hifigan")
+
+    dump_noncausal_generator(
+        "gen_noncausal", T=1800,
+        input_channels=1, output_channels=1, encode_channels=4,
+        decode_channels=4, code_dim=16, codebook_num=4, codebook_size=32,
+        enc_ratios=(2, 4, 8, 16), dec_ratios=(16, 8, 4, 2),
+        enc_strides=(3, 4, 5, 5), dec_strides=(5, 5, 4, 3),
+        codec="audiodec",
+    )
 
 
 if __name__ == "__main__":
