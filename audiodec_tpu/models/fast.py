@@ -1,0 +1,56 @@
+"""Fast batch inference paths: fused-Pallas residual stacks + XLA strided
+convs.
+
+Numerically equivalent to models.autoencoder.{encoder,decoder}_apply (same
+f32 MXU matmuls, fixed tap order); the fused kernels keep the residual-unit
+chains in VMEM, collapsing the HBM traffic the hot low-channel/high-rate
+blocks are bound by.  Use for batch transcode / benchmarking on TPU; the XLA
+path stays the reference for parity tests and training.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.models.autoencoder import GeneratorConfig
+from audiodec_tpu.ops.conv import causal_conv1d, causal_conv_transpose1d
+from audiodec_tpu.ops.pallas.resunit_kernel import (
+    fused_residual_stack,
+    res_stack_params,
+)
+
+
+def _stack(x, block_params, cfg: GeneratorConfig, tile_t: int,
+           interpret: bool):
+    return fused_residual_stack(
+        x, res_stack_params(block_params),
+        dilations=tuple(cfg.res_dilations),
+        kernel_size=cfg.res_kernel_size,
+        tile_t=tile_t, interpret=interpret)
+
+
+def encoder_apply_fused(p, x, cfg: GeneratorConfig, tile_t: int = 1024,
+                        interpret: bool = False):
+    """Batch causal encoder with fused residual stacks.  x: (B, T, C)."""
+    assert cfg.mode == "causal" and cfg.codec == "audiodec"
+    x = causal_conv1d(x, p["conv"])
+    for i, stride in enumerate(cfg.enc_strides):
+        bp = p["blocks"][i]
+        x = _stack(x, bp, cfg, tile_t, interpret)
+        x = causal_conv1d(x, bp["conv"], stride=stride)
+    return x
+
+
+def decoder_apply_fused(p, z, cfg: GeneratorConfig, tile_t: int = 1024,
+                        interpret: bool = False):
+    """Batch causal decoder with fused residual stacks.  z: (B, T', D)."""
+    assert cfg.mode == "causal" and cfg.codec == "audiodec"
+    x = causal_conv1d(z, p["conv1"])
+    for i, stride in enumerate(cfg.dec_strides):
+        bp = p["blocks"][i]
+        x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
+        x = _stack(x, bp, cfg, tile_t, interpret)
+    return causal_conv1d(x, p["conv2"])

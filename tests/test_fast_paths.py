@@ -1,0 +1,39 @@
+"""Fused fast-path encoder/decoder == reference XLA path (interpret mode)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.models.autoencoder import (
+    GeneratorConfig,
+    decoder_apply,
+    encoder_apply,
+    generator_init,
+)
+from audiodec_tpu.models.fast import decoder_apply_fused, encoder_apply_fused
+
+CFG = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                      codebook_num=2, codebook_size=16)
+
+
+def test_fused_encoder_matches():
+    params = generator_init(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray(0.3 * np.random.default_rng(0)
+                    .standard_normal((1, 4 * 300, 1)).astype(np.float32))
+    ref = encoder_apply(params["encoder"], x, CFG)
+    out = encoder_apply_fused(params["encoder"], x, CFG, tile_t=300,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_decoder_matches():
+    params = generator_init(jax.random.PRNGKey(1), CFG)
+    z = jnp.asarray(0.3 * np.random.default_rng(1)
+                    .standard_normal((1, 4, CFG.code_dim)).astype(np.float32))
+    ref = decoder_apply(params["decoder"], z, CFG)
+    out = decoder_apply_fused(params["decoder"], z, CFG, tile_t=512,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)

@@ -1,0 +1,47 @@
+"""Compare two directories of wavs (e.g. our decoded output vs the reference
+implementation's decoded output): per-utterance SNR and log-mel distance.
+
+Usage: python tools/eval_quality.py --ref DIR --est DIR [--suffix _output.wav]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ref", required=True)
+    parser.add_argument("--est", required=True)
+    parser.add_argument("--suffix", default=".wav")
+    args = parser.parse_args()
+
+    from audiodec_tpu.data import read_wav
+    from audiodec_tpu.utils.metrics import mel_distance, snr_db
+
+    import numpy as np
+
+    names = sorted(f for f in os.listdir(args.ref)
+                   if f.endswith(args.suffix))
+    snrs, mels = [], []
+    for name in names:
+        ep = os.path.join(args.est, name)
+        if not os.path.exists(ep):
+            continue
+        a, sr = read_wav(os.path.join(args.ref, name))
+        b, _ = read_wav(ep)
+        snrs.append(snr_db(a[:, 0], b[:, 0]))
+        mels.append(mel_distance(a[:, 0], b[:, 0], sr))
+    print(json.dumps({
+        "n": len(snrs),
+        "snr_db_mean": float(np.mean(snrs)) if snrs else None,
+        "snr_db_min": float(np.min(snrs)) if snrs else None,
+        "mel_l1_mean": float(np.mean(mels)) if mels else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
