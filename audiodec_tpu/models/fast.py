@@ -25,11 +25,15 @@ from audiodec_tpu.ops.pallas.resunit_kernel import (
 
 def _stack(x, block_params, cfg: GeneratorConfig, tile_t: int,
            interpret: bool):
+    # scale the time tile inversely with channel width so the kernel's VMEM
+    # working set (~4 live (tile, C) f32 tensors + weights) stays bounded
+    c = x.shape[-1]
+    tile_eff = max(128, tile_t * 64 // max(c, 1))
     return fused_residual_stack(
         x, res_stack_params(block_params),
         dilations=tuple(cfg.res_dilations),
         kernel_size=cfg.res_kernel_size,
-        tile_t=tile_t, interpret=interpret)
+        tile_t=tile_eff, interpret=interpret)
 
 
 def encoder_apply_fused(p, x, cfg: GeneratorConfig, tile_t: int = 1024,

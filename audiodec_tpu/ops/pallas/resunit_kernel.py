@@ -32,7 +32,9 @@ DEFAULT_TILE_T = 1024
 
 
 def _elu(x):
-    return jax.nn.elu(x)
+    # jax.nn.elu uses expm1, which has no Pallas TPU lowering; the explicit
+    # form differs only below f32 roundoff for our value range
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
 def _windowed(x, tile_t: int, pad: int):
@@ -63,10 +65,13 @@ def fused_residual_stack(x, unit_params: Tuple, *,
     """
     b, t, c = x.shape
     pad = sum((kernel_size - 1) * d for d in dilations)
-    tile = min(tile_t, t)
-    if t % tile != 0:
-        # fall back: single tile covering everything
-        tile = t
+    # largest divisor of t that fits the tile budget (keeps VMEM bounded for
+    # any sequence length)
+    tile = 1
+    for cand in range(min(tile_t, t), 0, -1):
+        if t % cand == 0:
+            tile = cand
+            break
     win, n_tiles = _windowed(x, tile, pad)
 
     flat_params = []

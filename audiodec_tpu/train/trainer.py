@@ -141,12 +141,27 @@ class GanTrainer:
                                            accum.items()}, prefix="eval/")
 
     def run(self, max_steps: Optional[int] = None):
-        """Train to adv_train_max_steps (or max_steps), saving on exit."""
+        """Train to adv_train_max_steps (or max_steps), saving on exit.
+
+        SIGTERM (preemption) triggers a checkpoint save and a clean stop —
+        restart with --resume picks up at the same step."""
+        import signal
+
         target = max_steps if max_steps is not None else \
             self.adv_train_max_steps
+        stop = {"flag": False}
+
+        def _on_term(signum, frame):
+            logging.warning("SIGTERM received: checkpointing and stopping")
+            stop["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not main thread
+            prev_handler = None
         t0 = time.time()
         try:
-            while self.steps < target:
+            while self.steps < target and not stop["flag"]:
                 adv = self._adversarial()
                 it = self.adv_train_iter if adv else self.train_iter
                 batch = next(it)
@@ -166,5 +181,8 @@ class GanTrainer:
             # always save a final checkpoint (ref: bin/train.py:119-123)
             self.save(os.path.join(self.outdir, "checkpoint-final.ckpt"))
             self.writer.close()
+            if prev_handler is not None:
+                import signal as _signal
+                _signal.signal(_signal.SIGTERM, prev_handler)
         dt = time.time() - t0
         logging.info("Finished %d steps in %.1fs", self.steps, dt)

@@ -5,6 +5,8 @@ import time
 
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from audiodec_tpu.models.autoencoder import (
@@ -33,10 +35,10 @@ def xla_path(params, x):
 
 @jax.jit
 def fused_path(params, x):
-    h = encoder_apply_fused(params["encoder"], x, cfg, tile_t=2400)
+    h = encoder_apply_fused(params["encoder"], x, cfg, tile_t=4800)
     z = projector_apply(params["projector"], h, cfg)
     zq, idx = rvq_encode_pallas(z, params["quantizer"]["embed"])
-    y = decoder_apply_fused(params["decoder"], zq, cfg, tile_t=2400)
+    y = decoder_apply_fused(params["decoder"], zq, cfg, tile_t=4800)
     return idx, y
 
 

@@ -1,0 +1,53 @@
+"""Streaming chunk-latency probe: per-hop encode+decode compute latency.
+
+Measures the device-side cost of one streaming step (hop=300 samples =
+6.25 ms of audio @ 48 kHz) by timing a `lax.scan` over N hops and dividing —
+this isolates kernel latency from the host<->device tunnel overhead of this
+environment (which adds ~30 ms per host-driven call and is an artifact of
+the axon relay, not the TPU).  Reference comparison: <6 ms GPU decoder
+latency (ref README.md:7, figs/latency.jpg).
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.models.autoencoder import GeneratorConfig, generator_init
+from audiodec_tpu.streaming.engine import (
+    scan_streaming_decode,
+    scan_streaming_encode,
+)
+
+cfg = GeneratorConfig()
+params = generator_init(jax.random.PRNGKey(0), cfg)
+hop = cfg.hop_length
+N = 64
+x = jnp.asarray(0.3 * np.random.default_rng(0).standard_normal(
+    (1, N * hop, 1)).astype(np.float32))
+
+enc = jax.jit(lambda p, x: scan_streaming_encode(p, cfg, x))
+dec = jax.jit(lambda p, i: scan_streaming_decode(p, cfg, i))
+
+idx = enc(params, x)
+float(idx[0, 0, 0])
+y = dec(params, idx)
+float(y[0, 0, 0])
+
+t0 = time.perf_counter()
+for _ in range(3):
+    idx = enc(params, x)
+    float(idx[0, 0, 0])
+enc_ms = (time.perf_counter() - t0) / 3 / N * 1000
+
+t0 = time.perf_counter()
+for _ in range(3):
+    y = dec(params, idx)
+    float(y[0, 0, 0])
+dec_ms = (time.perf_counter() - t0) / 3 / N * 1000
+
+print(f"per-hop encode: {enc_ms:.3f} ms | per-hop decode: {dec_ms:.3f} ms | "
+      f"hop = {hop/48000*1000:.2f} ms audio | "
+      f"e2e chunk latency (compute) = {enc_ms+dec_ms:.3f} ms", flush=True)
