@@ -26,9 +26,10 @@ from audiodec_tpu.ops.pallas.resunit_kernel import (
 def _stack(x, block_params, cfg: GeneratorConfig, tile_t: int,
            interpret: bool):
     # scale the time tile inversely with channel width so the kernel's VMEM
-    # working set (~4 live (tile, C) f32 tensors + weights) stays bounded
+    # working set (~a dozen live (tile, C) f32 tensors from the unrolled tap
+    # matmuls, plus weights) stays under the scoped-vmem limit
     c = x.shape[-1]
-    tile_eff = max(128, tile_t * 64 // max(c, 1))
+    tile_eff = max(128, min(tile_t, 65536 // max(c, 1)))
     return fused_residual_stack(
         x, res_stack_params(block_params),
         dilations=tuple(cfg.res_dilations),

@@ -136,3 +136,41 @@ def test_train_stats_test_demo_pipeline(workdir):
     y, sr = read_wav(out_wav)
     x, _ = read_wav(in_wav)
     assert sr == 48000 and len(y) == len(x)
+
+
+def test_denoise_training_pipeline(workdir):
+    """Denoise mode: pair corpus, warm start from the AE checkpoint, no
+    adversarial stage (ref: trainer/denoise.py, config/denoise)."""
+    root, cfg_path = workdir
+    ae_final = str(root / "exp" / "tiny" / "checkpoint-final.ckpt")
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["train_mode"] = "denoise"
+    cfg["initial"] = ae_final
+    base = cfg["data"]["path"]
+    cfg["data"]["subset"] = {
+        "clean_train": "train", "clean_valid": "valid", "clean_test": "test",
+        "noisy_train": "train", "noisy_valid": "valid", "noisy_test": "test",
+    }
+    cfg["train_max_steps"] = 3
+    cfg["adv_train_max_steps"] = 3
+    cfg["eval_interval_steps"] = 2
+    dn_cfg_path = str(root / "denoise_config.yaml")
+    with open(dn_cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from audiodec_tpu.bin import codec_train
+    tag = str(root / "exp" / "denoise")
+    codec_train.main(["--config", dn_cfg_path, "--tag", tag])
+    assert os.path.exists(os.path.join(tag, "checkpoint-final.ckpt"))
+
+    # warm start actually loaded the AE weights
+    import jax
+    from audiodec_tpu.train.checkpoint import load_checkpoint
+    import numpy as np_
+    ae_state, _ = load_checkpoint(ae_final)
+    dn_state, _ = load_checkpoint(os.path.join(tag,
+                                               "checkpoint-final.ckpt"))
+    # decoder frozen in denoise mode == identical to AE decoder weights
+    a = ae_state["gen"]["decoder"]["conv1"]["w"]
+    b = dn_state["gen"]["decoder"]["conv1"]["w"]
+    np_.testing.assert_array_equal(np_.asarray(a), np_.asarray(b))

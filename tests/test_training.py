@@ -206,6 +206,36 @@ def test_denoise_freezes_quantizer_and_decoder():
     assert np.isfinite(float(m["generator_loss"]))
 
 
+def test_univnet_adv_step_runs():
+    """Adversarial step with the UnivNet MRSD+MPD discriminator (STFT inside
+    jit)."""
+    from audiodec_tpu.models.discriminators import (
+        MultiResolutionSpectralConfig,
+        UnivNetDiscriminatorConfig,
+        univnet_discriminator_apply,
+        univnet_discriminator_init,
+    )
+    ucfg = UnivNetDiscriminatorConfig(
+        mrsd=MultiResolutionSpectralConfig(
+            fft_sizes=(256,), hop_sizes=(64,), win_lengths=(128,)),
+        mpd=DISC_CFG.mpd)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    gen = generator_init(k1, GEN_CFG)
+    disc = univnet_discriminator_init(k2, ucfg)
+    gen_opt = make_optimizer(CONFIG, "generator")
+    disc_opt = make_optimizer(CONFIG, "discriminator")
+    state = {"gen": gen, "disc": disc, "gen_opt": gen_opt.init(gen),
+             "disc_opt": disc_opt.init(disc)}
+    crit = build_criterion(CONFIG)
+    steps = make_autoencoder_steps(
+        GEN_CFG, lambda p, x: univnet_discriminator_apply(p, x, ucfg),
+        CONFIG, crit, gen_opt, disc_opt, jit=True)
+    x = jnp.asarray(0.1 * np.random.default_rng(12)
+                    .standard_normal((2, 600, 1)).astype(np.float32))
+    state, m = steps["adv"](state, x)
+    assert np.isfinite(float(m["discriminator_loss"]))
+
+
 def test_vocoder_steps_run():
     voc_cfg = VocoderConfig(in_channels=8, channels=16,
                             upsample_scales=(5, 5, 4, 3),
