@@ -266,8 +266,10 @@ def spectral_discriminator_apply(p, x, cfg: SpectralDiscriminatorConfig):
     (torchaudio.spectrogram(power=1, pad=win//2) semantics)."""
     act = get_activation(cfg.nonlinear_activation,
                         dict(cfg.nonlinear_activation_params))
+    # eps > 0 keeps sqrt differentiable on the all-zero padded edge frames
+    # (values shift by <=1e-6, gradients stay finite)
     mag = stft_magnitude(x[:, :, 0], cfg.fft_size, cfg.hop_size,
-                         cfg.win_length, pad=cfg.win_length // 2)
+                         cfg.win_length, pad=cfg.win_length // 2, eps=1e-12)
     h = mag[:, :, :, None]  # (B, T', F, 1) NHWC
     outs = []
     shapes = cfg.layer_shapes()
