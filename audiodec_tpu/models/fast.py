@@ -37,6 +37,37 @@ def _stack(x, block_params, cfg: GeneratorConfig, tile_t: int,
         tile_t=tile_eff, interpret=interpret)
 
 
+def encoder_apply_blocked(p, x, cfg: GeneratorConfig):
+    """Batch causal encoder with block-packed (lane-filling) residual stacks
+    — pure XLA, no Pallas.  x: (B, T, C)."""
+    from audiodec_tpu.ops.blocked import blocked_res_stack
+
+    assert cfg.mode == "causal" and cfg.codec == "audiodec"
+    act = cfg.act
+    x = causal_conv1d(x, p["conv"])
+    for i, stride in enumerate(cfg.enc_strides):
+        bp = p["blocks"][i]
+        x = blocked_res_stack(x, bp["res"],
+                              dilations=tuple(cfg.res_dilations), act=act)
+        x = causal_conv1d(x, bp["conv"], stride=stride)
+    return x
+
+
+def decoder_apply_blocked(p, z, cfg: GeneratorConfig):
+    """Batch causal decoder with block-packed residual stacks."""
+    from audiodec_tpu.ops.blocked import blocked_res_stack
+
+    assert cfg.mode == "causal" and cfg.codec == "audiodec"
+    act = cfg.act
+    x = causal_conv1d(z, p["conv1"])
+    for i, stride in enumerate(cfg.dec_strides):
+        bp = p["blocks"][i]
+        x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
+        x = blocked_res_stack(x, bp["res"],
+                              dilations=tuple(cfg.res_dilations), act=act)
+    return causal_conv1d(x, p["conv2"])
+
+
 def encoder_apply_fused(p, x, cfg: GeneratorConfig, tile_t: int = 1024,
                         interpret: bool = False):
     """Batch causal encoder with fused residual stacks.  x: (B, T, C)."""

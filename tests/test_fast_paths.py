@@ -11,7 +11,12 @@ from audiodec_tpu.models.autoencoder import (
     encoder_apply,
     generator_init,
 )
-from audiodec_tpu.models.fast import decoder_apply_fused, encoder_apply_fused
+from audiodec_tpu.models.fast import (
+    decoder_apply_blocked,
+    decoder_apply_fused,
+    encoder_apply_blocked,
+    encoder_apply_fused,
+)
 
 CFG = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
                       codebook_num=2, codebook_size=16)
@@ -26,6 +31,24 @@ def test_fused_encoder_matches():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_blocked_encoder_decoder_match():
+    cfg = GeneratorConfig(encode_channels=32, decode_channels=32,
+                          code_dim=64, codebook_num=2, codebook_size=16)
+    params = generator_init(jax.random.PRNGKey(2), cfg)
+    x = jnp.asarray(0.3 * np.random.default_rng(2)
+                    .standard_normal((1, 2 * 300, 1)).astype(np.float32))
+    ref_h = encoder_apply(params["encoder"], x, cfg)
+    out_h = encoder_apply_blocked(params["encoder"], x, cfg)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               rtol=1e-4, atol=1e-4)
+    z = jnp.asarray(0.3 * np.random.default_rng(3)
+                    .standard_normal((1, 2, cfg.code_dim)).astype(np.float32))
+    ref_y = decoder_apply(params["decoder"], z, cfg)
+    out_y = decoder_apply_blocked(params["decoder"], z, cfg)
+    np.testing.assert_allclose(np.asarray(out_y), np.asarray(ref_y),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_fused_decoder_matches():
