@@ -51,6 +51,28 @@ def test_blocked_encoder_decoder_match():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_blocked_path_bit_exact_vs_reference_golden():
+    """Blocked encoder still produces bit-exact RVQ indices vs the reference
+    torch implementation (golden symAD vectors)."""
+    import os
+    from audiodec_tpu.models.autoencoder import projector_apply
+    from audiodec_tpu.ops.vq import rvq_forward_index
+    from audiodec_tpu.utils.torch_import import import_autoencoder
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "gen_symad.npz")
+    data = np.load(golden)
+    sd = {k[len("sd__"):]: data[k] for k in data.files
+          if k.startswith("sd__")}
+    cfg = GeneratorConfig()
+    params = import_autoencoder(sd, cfg)
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+    h = encoder_apply_blocked(params["encoder"], x, cfg)
+    z = projector_apply(params["projector"], h, cfg)
+    _, idx = rvq_forward_index(z, params["quantizer"], flatten=True)
+    np.testing.assert_array_equal(np.asarray(idx[0]).T, data["idx_stream"])
+
+
 def test_fused_decoder_matches():
     params = generator_init(jax.random.PRNGKey(1), CFG)
     z = jnp.asarray(0.3 * np.random.default_rng(1)
