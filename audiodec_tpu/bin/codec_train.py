@@ -124,13 +124,26 @@ def main(argv=None):
     axis_name = "data" if args.dp > 1 else None
 
     univ = model_type in ("symAudioDecUniv", "UnivNet")
+    use_wn = config.get("generator_params", {}).get("use_weight_norm", False)
 
     if train_mode in ("autoencoder", "denoise"):
         gen_cfg = generator_config(config)
         gen = generator_init(k_gen, gen_cfg)
+        if use_wn:
+            # weight-norm reparametrized training (ref: AudioDec.py:107-109);
+            # decoder block convs are transposed (input-channel axis norm)
+            from audiodec_tpu.ops.norms import apply_weight_norm_tree
+            tp = tuple(f"decoder/blocks/{i}/conv"
+                       for i in range(len(gen_cfg.dec_strides)))
+            gen = apply_weight_norm_tree(gen, transposed_paths=tp)
     else:
         gen_cfg = generator_config(config)  # vocoder config
         gen = vocoder_init(k_gen, gen_cfg)
+        if config.get("generator_params", {}).get("use_weight_norm", True):
+            from audiodec_tpu.ops.norms import apply_weight_norm_tree
+            tp = tuple(f"upsamples/{i}"
+                       for i in range(len(gen_cfg.upsample_scales)))
+            gen = apply_weight_norm_tree(gen, transposed_paths=tp)
         if gen_cfg.stats and config["generator_params"].get("stats"):
             stats = np.load(config["generator_params"]["stats"])
             import jax.numpy as jnp

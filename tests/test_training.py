@@ -206,6 +206,42 @@ def test_denoise_freezes_quantizer_and_decoder():
     assert np.isfinite(float(m["generator_loss"]))
 
 
+def test_weight_normed_generator_training():
+    """Weight-norm reparametrized generator (symAAD/vocoder-style): resolve
+    is value-preserving at init, and a metric step trains g/v."""
+    from audiodec_tpu.models.autoencoder import generator_forward
+    from audiodec_tpu.ops.norms import apply_weight_norm_tree, resolve_params
+
+    gen = generator_init(jax.random.PRNGKey(21), GEN_CFG)
+    tp = tuple(f"decoder/blocks/{i}/conv"
+               for i in range(len(GEN_CFG.dec_strides)))
+    gen_wn = apply_weight_norm_tree(gen, transposed_paths=tp)
+    assert "v" in gen_wn["encoder"]["conv"] and "g" in gen_wn["encoder"]["conv"]
+    assert "embed" in gen_wn["quantizer"]  # untouched
+
+    eff, _ = resolve_params(gen_wn)
+    x = jnp.asarray(0.1 * np.random.default_rng(22)
+                    .standard_normal((1, 600, 1)).astype(np.float32))
+    y0, *_ = generator_forward(gen, x, GEN_CFG, train=False)
+    y1, *_ = generator_forward(eff, x, GEN_CFG, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5,
+                               atol=1e-6)
+
+    gen_opt = make_optimizer(CONFIG, "generator")
+    disc = hifigan_discriminator_init(jax.random.PRNGKey(23), DISC_CFG)
+    disc_opt = make_optimizer(CONFIG, "discriminator")
+    state = {"gen": gen_wn, "disc": disc, "gen_opt": gen_opt.init(gen_wn),
+             "disc_opt": disc_opt.init(disc)}
+    crit = build_criterion(CONFIG)
+    steps = make_autoencoder_steps(GEN_CFG, disc_apply, CONFIG, crit,
+                                   gen_opt, disc_opt, jit=False)
+    g0 = np.asarray(state["gen"]["encoder"]["conv"]["g"]).copy()
+    state, m = steps["metric"](state, x)
+    assert np.isfinite(float(m["generator_loss"]))
+    assert not np.allclose(np.asarray(state["gen"]["encoder"]["conv"]["g"]),
+                           g0)
+
+
 def test_univnet_adv_step_runs():
     """Adversarial step with the UnivNet MRSD+MPD discriminator (STFT inside
     jit)."""
