@@ -43,6 +43,17 @@ def _load_list(files) -> List[str]:
     raise ValueError(f"{files} is not a directory, list file, or list")
 
 
+def load_files(data_path, query: str = "*.wav", num_core: int = 1):
+    """File list, optionally split into num_core roughly equal chunks
+    (ref: dataloader/utils.py:41-47)."""
+    files = _load_list(data_path) if not os.path.isdir(data_path) \
+        else find_files(data_path, query)
+    if num_core <= 1:
+        return files
+    file_lists = [files[i::num_core] for i in range(num_core)]
+    return file_lists
+
+
 class SingleDataset:
     """Single-corpus waveform dataset (ref: dataloader/dataset.py:20-96)."""
 

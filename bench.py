@@ -16,6 +16,9 @@ import time
 import numpy as np
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
@@ -35,8 +38,10 @@ def main():
     SR = 48000
     B, secs = 16, 10
     T = secs * SR  # divisible by hop 300
-    x = jnp.asarray(0.3 * np.random.default_rng(0)
-                    .standard_normal((B, T, 1)).astype(np.float32))
+    # generate the input on-device: host->device transfers ride a slow
+    # tunnel in this environment and must stay out of the measurement
+    x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (B, T, 1),
+                                 jnp.float32)
 
     @jax.jit
     def transcode(params, x):
@@ -47,22 +52,31 @@ def main():
         y = decoder_apply(params["decoder"], zq, cfg)
         return idx, y
 
-    def sync(idx, y):
+    iters = 8
+
+    @jax.jit
+    def transcode_loop(params, x):
+        # on-device timing loop: each iteration consumes the previous
+        # decode's output, so XLA cannot elide or overlap iterations; a
+        # single dispatch+sync keeps the host<->device tunnel RTT out of the
+        # per-iteration cost
+        def body(i, carry):
+            idx, y = transcode(params, carry)
+            return y + 1e-12 * i
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    def sync(y):
         # NOTE: block_until_ready can return before execution completes on
         # the tunneled axon backend; fetching a dependent scalar to the host
         # is a reliable completion barrier.
-        return float(y[0, 0, 0]) + float(idx[0, 0, 0])
+        return float(y[0, 0, 0])
 
-    # warmup / compile (twice: second warms the scalar-slice programs)
-    for _ in range(2):
-        idx, y = transcode(params, x)
-        sync(idx, y)
-
-    iters = 10
+    # warmup / compile
+    y = transcode_loop(params, x0)
+    sync(y)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        idx, y = transcode(params, x)
-        sync(idx, y)
+    y = transcode_loop(params, x0)
+    sync(y)
     dt = (time.perf_counter() - t0) / iters
 
     audio_seconds = B * T / SR
