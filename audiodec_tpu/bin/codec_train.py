@@ -153,7 +153,8 @@ def main(argv=None):
     if train_mode == "denoise":
         state = {"gen": gen, "gen_opt": gen_opt.init(gen)}
         steps = make_denoise_steps(gen_cfg, config, crit, gen_opt,
-                                   axis_name=axis_name)
+                                   axis_name=axis_name,
+                                   jit=(axis_name is None))
     else:
         disc_cfg = discriminator_config(config)
         if univ:
@@ -169,13 +170,21 @@ def main(argv=None):
         if train_mode == "autoencoder":
             steps = make_autoencoder_steps(gen_cfg, disc_apply, config, crit,
                                            gen_opt, disc_opt,
-                                           axis_name=axis_name)
+                                           axis_name=axis_name,
+                                           jit=(axis_name is None))
         else:
             analyzer, an_cfg = load_analyzer(config)
             state["analyzer"] = analyzer
             steps = make_vocoder_steps(gen_cfg, an_cfg, disc_apply, config,
                                        crit, gen_opt, disc_opt,
-                                       axis_name=axis_name)
+                                       axis_name=axis_name,
+                                       jit=(axis_name is None))
+
+    if axis_name is not None:
+        from audiodec_tpu.train.steps import shard_steps
+        from audiodec_tpu.parallel import make_mesh
+        mesh = make_mesh(data=args.dp, seq=1)
+        steps = shard_steps(steps, mesh, axis_name)
 
     # warm start (ref `initial:` key, codecTrain.py:245-247)
     if config.get("initial"):

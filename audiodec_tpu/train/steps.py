@@ -38,6 +38,33 @@ from audiodec_tpu.ops.vq import rvq_forward
 from audiodec_tpu.train import criterion as C
 
 
+def shard_steps(steps: Dict[str, Callable], mesh,
+                axis_name: str = "data") -> Dict[str, Callable]:
+    """Wrap step functions (built with `axis_name`) in shard_map over a
+    1-D data mesh: state replicated, batch sharded on `axis_name`, psum'd
+    grads/EMA keep replicas identical.  Batch size must be divisible by the
+    mesh size."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def wrap(fn, n_batch_args, has_state):
+        batch_specs = tuple(P(axis_name) for _ in range(n_batch_args))
+        if has_state:
+            inner = shard_map(fn, mesh=mesh,
+                              in_specs=(P(),) + batch_specs,
+                              out_specs=(P(), P()), check_vma=False)
+        else:
+            inner = shard_map(fn, mesh=mesh,
+                              in_specs=(P(),) + batch_specs,
+                              out_specs=P(), check_vma=False)
+        return jax.jit(inner)
+
+    # denoise steps ({'train','eval'}) take (x_n, x_c); GAN steps take (x,)
+    n_batch = 2 if "metric" not in steps else 1
+    return {name: wrap(fn, n_batch, has_state=(name != "eval"))
+            for name, fn in steps.items()}
+
+
 def _zero_subtrees(tree, keys):
     out = dict(tree)
     for k in keys:

@@ -138,6 +138,19 @@ def test_train_stats_test_demo_pipeline(workdir):
     assert sr == 48000 and len(y) == len(x)
 
 
+def test_data_parallel_training(workdir):
+    """--dp 2: shard_map-wrapped GAN steps over a 2-device data mesh."""
+    root, cfg_path = workdir
+    from audiodec_tpu.bin import codec_train
+    tag = str(root / "exp" / "dp2")
+    codec_train.main(["--config", cfg_path, "--tag", tag, "--dp", "2"])
+    assert os.path.exists(os.path.join(tag, "checkpoint-final.ckpt"))
+    with open(os.path.join(tag, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    keys = set(k for r in recs for k in r)
+    assert any("discriminator_loss" in k for k in keys)
+
+
 def test_denoise_training_pipeline(workdir):
     """Denoise mode: pair corpus, warm start from the AE checkpoint, no
     adversarial stage (ref: trainer/denoise.py, config/denoise)."""
