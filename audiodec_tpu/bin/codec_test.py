@@ -66,31 +66,51 @@ def bucket_batches(dataset, batch_size: int, chunk: int):
 
 class BatchTranscoder:
     """Jitted batch encode/decode, optionally vocoder-decoded and/or
-    seq-sharded."""
+    seq-sharded.
 
-    def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None):
+    dtype: compute dtype for the conv stacks.  float32 is the parity mode
+    (bit-exact RVQ indices vs the reference); bfloat16 is ~1.5x faster on
+    TPU with VQ distances kept in f32 (indices may differ from the f32 path
+    in rare near-tie cases — see BENCHMARKS.md)."""
+
+    def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
+                 dtype=jnp.float32):
         self.params = params
         self.cfg = cfg
         self.voc = voc
         self.mesh = mesh
+        self.dtype = dtype
         if mesh is not None:
             self.encode, self.decode = make_sharded_codec(
                 mesh, params, cfg, vocoder=voc)
         else:
+            def cast(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype)
+                    if a.dtype == jnp.float32 else a, tree)
+
+            enc_params = cast({"encoder": params["encoder"],
+                               "projector": params["projector"]})
+            dec_params = cast(voc[0] if voc is not None
+                              else params["decoder"])
+
             @jax.jit
             def encode(x):
-                h = encoder_apply(params["encoder"], x, cfg)
-                z = projector_apply(params["projector"], h, cfg)
-                _, idx = rvq_forward_index(z, params["quantizer"])
+                h = encoder_apply(enc_params["encoder"], x.astype(dtype),
+                                  cfg)
+                z = projector_apply(enc_params["projector"], h, cfg)
+                _, idx = rvq_forward_index(z.astype(jnp.float32),
+                                           params["quantizer"])
                 return idx
 
             @jax.jit
             def decode(idx):
-                zq = rvq_lookup(idx, params["quantizer"])
+                zq = rvq_lookup(idx, params["quantizer"]).astype(dtype)
                 if voc is None:
-                    return decoder_apply(params["decoder"], zq, cfg)
-                voc_params, voc_cfg = voc
-                return vocoder_apply(voc_params, zq, voc_cfg)
+                    y = decoder_apply(dec_params, zq, cfg)
+                else:
+                    y = vocoder_apply(dec_params, zq, voc[1])
+                return y.astype(jnp.float32)
 
             self.encode, self.decode = encode, decode
 
@@ -110,7 +130,7 @@ class BatchTranscoder:
 
 
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
-               dp: int = 1):
+               dp: int = 1, dtype=jnp.float32):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -134,7 +154,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
     mesh = None
     if seq > 1 or dp > 1:
         mesh = make_mesh(data=dp, seq=seq)
-    return BatchTranscoder(params, cfg, voc=voc, mesh=mesh), enc_config
+    return BatchTranscoder(params, cfg, voc=voc, mesh=mesh,
+                           dtype=dtype), enc_config
 
 
 def main(argv=None):
@@ -149,11 +170,15 @@ def main(argv=None):
                         help="sequence-parallel shards per utterance")
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel devices")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="conv compute dtype (bfloat16 = fast mode)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
-    transcoder, config = load_codec(args.encoder, args.decoder, args.seq,
-                                    args.dp)
+    transcoder, config = load_codec(
+        args.encoder, args.decoder, args.seq, args.dp,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 
