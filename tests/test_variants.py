@@ -1,0 +1,93 @@
+"""Architecture-variant robustness: alternative stride pyramids (the c16
+config's (2,4,5,8) hop-320 layout and others) keep the streaming==batch
+identity and transcode shape contracts without golden vectors."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiodec_tpu.models.autoencoder import (
+    GeneratorConfig,
+    codec_state_init,
+    decoder_apply,
+    encoder_apply,
+    generator_init,
+    projector_apply,
+)
+from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
+
+VARIANTS = [
+    # c16-style: hop 320, 16 codebooks (ref symAD_c16_vctk_48000_hop320)
+    GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                    codebook_num=4, codebook_size=16,
+                    enc_strides=(2, 4, 5, 8), dec_strides=(8, 5, 4, 2)),
+    # uneven pyramid
+    GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                    codebook_num=2, codebook_size=8,
+                    enc_ratios=(2, 4, 8), dec_ratios=(8, 4, 2),
+                    enc_strides=(4, 5, 6), dec_strides=(6, 5, 4)),
+    # two-stage tiny
+    GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                    codebook_num=2, codebook_size=8,
+                    enc_ratios=(2, 4), dec_ratios=(4, 2),
+                    enc_strides=(3, 4), dec_strides=(4, 3)),
+]
+
+
+@pytest.mark.parametrize("cfg", VARIANTS, ids=["c16_hop320", "uneven",
+                                               "two_stage"])
+def test_variant_streaming_equals_batch_and_roundtrip(cfg):
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    hop = cfg.hop_length
+    n = 5
+    x = jnp.asarray(0.3 * np.random.default_rng(0)
+                    .standard_normal((1, n * hop, 1)).astype(np.float32))
+
+    # batch path
+    h = encoder_apply(params["encoder"], x, cfg)
+    z = projector_apply(params["projector"], h, cfg)
+    assert z.shape[1] == n  # one frame per hop
+    _, idx = rvq_forward_index(z, params["quantizer"])
+    zq = rvq_lookup(idx, params["quantizer"])
+    y = decoder_apply(params["decoder"], zq, cfg)
+    assert y.shape == (1, n * hop, 1)
+
+    # streaming chunked == batch for the encoder; decoder streaming runs
+    state = codec_state_init(1, cfg)
+    hs = []
+    for i in range(n):
+        hi, state["encoder"] = encoder_apply(
+            params["encoder"], x[:, i * hop:(i + 1) * hop], cfg,
+            state=state["encoder"])
+        hs.append(np.asarray(hi))
+    np.testing.assert_allclose(np.concatenate(hs, axis=1), np.asarray(h),
+                               rtol=1e-4, atol=1e-5)
+
+    ys = []
+    for i in range(n):
+        yi, state["decoder"] = decoder_apply(
+            params["decoder"], zq[:, i:i + 1], cfg, state=state["decoder"])
+        ys.append(np.asarray(yi))
+    y_stream = np.concatenate(ys, axis=1)
+    assert y_stream.shape == (1, n * hop, 1)
+
+
+def test_welford_stats_match_naive():
+    """codec_stats' RunningMoments == numpy mean/std over all frames
+    (the reference uses sklearn StandardScaler.partial_fit,
+    ref codecStatistic.py:92-112)."""
+    from audiodec_tpu.bin.codec_stats import RunningMoments
+
+    rng = np.random.default_rng(0)
+    chunks = [rng.standard_normal((n, 6)) * (1 + i) + i
+              for i, n in enumerate([10, 33, 7, 50])]
+    mom = RunningMoments(6)
+    for c in chunks:
+        mom.update(c)
+    mean, scale = mom.finalize()
+    allf = np.concatenate(chunks)
+    # finalize() casts to float32
+    np.testing.assert_allclose(mean, allf.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(scale, allf.std(0), rtol=1e-5)
