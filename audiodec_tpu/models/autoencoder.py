@@ -242,6 +242,11 @@ def encoder_state_init(batch: int, cfg: GeneratorConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def projector_init(key, cfg: GeneratorConfig) -> dict:
+    if cfg.projector != "conv1d":
+        # 'conv1d_bn' exists in the reference but no shipped config uses it
+        # (ref: projector.py:39-47)
+        raise NotImplementedError(
+            f"Projector ({cfg.projector}) is not supported!")
     return {"conv": conv1d_init(key, 3, cfg.enc_out_channels, cfg.code_dim,
                                 bias=False)}
 
