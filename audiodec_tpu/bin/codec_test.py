@@ -173,6 +173,8 @@ def main(argv=None):
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="conv compute dtype (bfloat16 = fast mode)")
+    parser.add_argument("--profile", default=None,
+                        help="capture a jax.profiler trace into this dir")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -190,9 +192,13 @@ def main(argv=None):
         + os.path.splitext(os.path.basename(args.decoder))[0])
     os.makedirs(outdir, exist_ok=True)
 
+    from audiodec_tpu.utils.profiling import device_trace
+
     chunk = cfg.hop_length * max(1, args.seq)
     total_audio, total_time = 0.0, 0.0
     n_utts = 0
+    trace = device_trace(args.profile)
+    trace.__enter__()
     for uids, batch, lens in bucket_batches(dataset, args.batch_size, chunk):
         t0 = time.perf_counter()
         idx, y = transcoder(batch)
@@ -207,6 +213,7 @@ def main(argv=None):
         for j, uid in enumerate(uids):
             write_wav(os.path.join(outdir, f"{uid}_output.wav"),
                       y[j, :lens[j]], sr)
+    trace.__exit__(None, None, None)
     rtf = total_audio / total_time if total_time else 0.0
     print(json.dumps({"utterances": n_utts, "audio_seconds": total_audio,
                       "wall_seconds": total_time, "rtf": rtf}))
