@@ -103,3 +103,18 @@ def test_simulated_streamer(params):
     # frame_size must be a hop multiple (ref demoStream.py:53-54)
     with pytest.raises(AssertionError):
         SimulatedStreamer(codec, frame_size=hop + 1)
+
+
+def test_streamer_latency_watchdog(params):
+    """max_latency=0 forces every frame to be dropped and replaced with
+    silence (ref: bin/stream.py:259-266)."""
+    codec = StreamingCodec(params, CFG)
+    hop = CFG.hop_length
+    x = 0.2 * np.random.default_rng(4).standard_normal(
+        (4 * hop, 1)).astype(np.float32)
+    streamer = SimulatedStreamer(codec, frame_size=2 * hop,
+                                 max_latency_ms=0.0)
+    y = streamer.run(x)
+    stats = streamer.stats()
+    assert stats["drop_ratio"] == 1.0
+    np.testing.assert_array_equal(y, np.zeros_like(y))
