@@ -65,7 +65,13 @@ class RunningMoments:
         return self.mean.astype(np.float32), scale.astype(np.float32)
 
 
-def extract_stats(params, cfg, dataset, hop_multiple: int = 1) -> np.ndarray:
+def extract_stats(params, cfg, dataset, window_hops: int = 160) -> np.ndarray:
+    """Accumulate zq moments over fixed-size windows.
+
+    Fixed window shapes keep this to one XLA compilation regardless of
+    utterance lengths (variable-shape jit would recompile per utterance);
+    short utterances are zero-padded to one window with the padded frames
+    trimmed from the update."""
     @jax.jit
     def codes(x):
         h = encoder_apply(params["encoder"], x, cfg)
@@ -73,15 +79,21 @@ def extract_stats(params, cfg, dataset, hop_multiple: int = 1) -> np.ndarray:
         zq, _ = rvq_forward_index(z, params["quantizer"])
         return zq
 
-    hop = cfg.hop_length * hop_multiple
+    window = cfg.hop_length * window_hops
     mom = RunningMoments(cfg.code_dim)
     for i in range(len(dataset)):
         x = dataset[i]
-        t = (len(x) // hop) * hop
-        if t == 0:
-            continue
-        zq = codes(jnp.asarray(x[None, :t]))
-        mom.update(np.asarray(zq[0], np.float64))
+        for s in range(0, len(x) - window + 1, window):
+            zq = codes(jnp.asarray(x[None, s:s + window]))
+            mom.update(np.asarray(zq[0], np.float64))
+        rem = len(x) % window if len(x) >= window else len(x)
+        if rem >= cfg.hop_length:
+            n_frames = rem // cfg.hop_length
+            start = len(x) - rem
+            pad = np.zeros((window, x.shape[-1]), np.float32)
+            pad[:rem] = x[start:]
+            zq = codes(jnp.asarray(pad[None]))
+            mom.update(np.asarray(zq[0, :n_frames], np.float64))
     mean, scale = mom.finalize()
     return np.stack([mean, scale])
 
