@@ -18,3 +18,19 @@ from audiodec_tpu.ops.vq import (
     vq_nearest,
 )
 from audiodec_tpu.ops.activations import get_activation
+from audiodec_tpu.ops.spectral import (
+    stft_magnitude,
+    mel_filterbank,
+    mel_spectrogram,
+)
+from audiodec_tpu.ops.norms import (
+    weight_norm_params,
+    spectral_norm_params,
+    resolve_params,
+    apply_weight_norm_tree,
+)
+from audiodec_tpu.ops.blocked import (
+    blocked_causal_conv1d,
+    blocked_res_stack,
+    pack_weights,
+)
