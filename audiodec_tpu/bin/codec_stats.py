@@ -113,10 +113,8 @@ def main(argv=None):
     an_config = load_config_near_checkpoint(analyzer_ckpt)
     cfg = generator_config(an_config)
 
-    from flax import serialization
     template = generator_init(jax.random.PRNGKey(0), cfg)
-    params, _ = load_only_params(analyzer_ckpt, "gen")
-    params = serialization.from_state_dict(template, params)
+    params, _ = load_only_params(analyzer_ckpt, "gen", template=template)
 
     data_path = args.data_path or os.path.join(
         config["data"]["path"], config["data"]["subset"][args.subset])

@@ -135,11 +135,9 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
     cfg = generator_config(enc_config)
-    params, _ = load_only_params(encoder_ckpt, "gen")
-    from flax import serialization
     from audiodec_tpu.models.autoencoder import generator_init
     template = generator_init(jax.random.PRNGKey(0), cfg)
-    params = serialization.from_state_dict(template, params)
+    params, _ = load_only_params(encoder_ckpt, "gen", template=template)
 
     voc = None
     if os.path.abspath(decoder_ckpt) != os.path.abspath(encoder_ckpt):
@@ -148,8 +146,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
             voc_cfg = generator_config(dec_config)
             from audiodec_tpu.models.vocoder import vocoder_init
             voc_t = vocoder_init(jax.random.PRNGKey(0), voc_cfg)
-            voc_params, _ = load_only_params(decoder_ckpt, "gen")
-            voc_params = serialization.from_state_dict(voc_t, voc_params)
+            voc_params, _ = load_only_params(decoder_ckpt, "gen",
+                                             template=voc_t)
             voc = (voc_params, voc_cfg)
     mesh = None
     if seq > 1 or dp > 1:

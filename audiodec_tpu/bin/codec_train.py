@@ -88,13 +88,12 @@ def build_dataloaders(config, train_mode, batch_length):
 def load_analyzer(config):
     """Frozen analyzer generator for vocoder mode
     (ref: codecTrain.py:258-267)."""
-    from flax import serialization
     ckpt = config["analyzer"]
     an_config = load_config_near_checkpoint(ckpt)
     gen_cfg = generator_config(an_config)
     template = generator_init(jax.random.PRNGKey(0), gen_cfg)
-    params, _ = load_only_params(ckpt, "gen")
-    return serialization.from_state_dict(template, params), gen_cfg
+    params, _ = load_only_params(ckpt, "gen", template=template)
+    return params, gen_cfg
 
 
 def main(argv=None):

@@ -37,8 +37,7 @@ def build_streaming_codec(encoder_ckpt: str, decoder_ckpt: str):
     enc_config = load_config_near_checkpoint(encoder_ckpt)
     cfg = generator_config(enc_config)
     template = generator_init(jax.random.PRNGKey(0), cfg)
-    params, _ = load_only_params(encoder_ckpt, "gen")
-    params = serialization.from_state_dict(template, params)
+    params, _ = load_only_params(encoder_ckpt, "gen", template=template)
 
     voc_cfg = None
     if decoder_ckpt != encoder_ckpt:
@@ -46,9 +45,9 @@ def build_streaming_codec(encoder_ckpt: str, decoder_ckpt: str):
         if dec_config.get("model_type") in ("HiFiGAN", "UnivNet"):
             voc_cfg = generator_config(dec_config)
             voc_t = vocoder_init(jax.random.PRNGKey(0), voc_cfg)
-            voc_params, _ = load_only_params(decoder_ckpt, "gen")
-            params = dict(params, vocoder=serialization.from_state_dict(
-                voc_t, voc_params))
+            voc_params, _ = load_only_params(decoder_ckpt, "gen",
+                                             template=voc_t)
+            params = dict(params, vocoder=voc_params)
     return StreamingCodec(params, cfg, voc_cfg=voc_cfg), enc_config
 
 

@@ -48,11 +48,28 @@ def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
     return state, header
 
 
+def _resolve_norms_state_dict(tree):
+    """Fold weight-norm/spectral-norm reparametrizations ({'v','g'} /
+    {'w_raw','u'}) found in a raw state-dict tree into plain {'w'} convs, so
+    checkpoints from reparametrized training load into inference templates."""
+    from audiodec_tpu.ops.norms import resolve_params
+
+    if isinstance(tree, dict) and ("v" in tree and "g" in tree
+                                   or "w_raw" in tree and "u" in tree):
+        eff, _ = resolve_params(tree)
+        return jax.tree_util.tree_map(np.asarray, eff)
+    if isinstance(tree, dict):
+        return {k: _resolve_norms_state_dict(v) for k, v in tree.items()}
+    return tree
+
+
 def load_only_params(path: str, key: str = "gen", template=None):
-    """Load just a sub-pytree's params (warm start / analyzer load).
-    With `template`, restores onto that pytree structure."""
+    """Load just a sub-pytree's params (warm start / analyzer load /
+    inference).  With `template`, restores onto that pytree structure,
+    folding any norm reparametrizations first."""
     state, header = load_checkpoint(path)
     sub = state[key] if key in state else state
     if template is not None:
+        sub = _resolve_norms_state_dict(sub)
         sub = serialization.from_state_dict(template, sub)
     return sub, header

@@ -242,6 +242,29 @@ def test_weight_normed_generator_training():
                            g0)
 
 
+def test_weight_normed_checkpoint_loads_into_plain_template(tmp_path):
+    """Checkpoints from weight-norm-reparametrized training must load into
+    plain inference templates (norms folded at load)."""
+    from audiodec_tpu.models.autoencoder import generator_forward
+    from audiodec_tpu.ops.norms import apply_weight_norm_tree
+
+    gen = generator_init(jax.random.PRNGKey(31), GEN_CFG)
+    tp = tuple(f"decoder/blocks/{i}/conv"
+               for i in range(len(GEN_CFG.dec_strides)))
+    gen_wn = apply_weight_norm_tree(gen, transposed_paths=tp)
+    p = str(tmp_path / "wn.ckpt")
+    save_checkpoint(p, {"gen": gen_wn}, steps=1)
+
+    template = generator_init(jax.random.PRNGKey(32), GEN_CFG)
+    loaded, _ = load_only_params(p, "gen", template=template)
+    x = jnp.asarray(0.1 * np.random.default_rng(33)
+                    .standard_normal((1, 600, 1)).astype(np.float32))
+    y_ref, *_ = generator_forward(gen, x, GEN_CFG, train=False)
+    y, *_ = generator_forward(loaded, x, GEN_CFG, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_univnet_adv_step_runs():
     """Adversarial step with the UnivNet MRSD+MPD discriminator (STFT inside
     jit)."""
