@@ -59,6 +59,8 @@ def main(argv=None):
     parser.add_argument("--decoder", default=None)
     parser.add_argument("-i", "--input", required=True)
     parser.add_argument("-o", "--output", required=True)
+    parser.add_argument("--codes-out", default=None,
+                        help="also write the packed RVQ bitstream (.adtc)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -83,6 +85,18 @@ def main(argv=None):
 
     logging.info("Encode/Decode...")
     idx = codec.encode(jnp.asarray(x[None]))
+    if args.codes_out:
+        from audiodec_tpu.utils.bitstream import pack_codes
+        # streaming indices are flattened; remove the per-quantizer offsets
+        flat = np.asarray(idx[0])
+        size = codec.cfg.codebook_size
+        raw = flat - np.arange(flat.shape[-1]) * size
+        blob = pack_codes(raw, size, sr, hop)
+        with open(args.codes_out, "wb") as f:
+            f.write(blob)
+        kbps = len(blob) * 8 / (T / sr) / 1000
+        logging.info("Wrote %s (%.2f kbps incl. header)", args.codes_out,
+                     kbps)
     y = codec.decode(idx)
     y = np.asarray(y)[0, :T]  # trim to input length
     write_wav(args.output, y, sr)

@@ -126,12 +126,16 @@ def test_train_stats_test_demo_pipeline(workdir):
     outs = os.listdir(outdir)
     assert len([f for f in outs if f.endswith("_output.wav")]) == 3
 
-    # demo: file codec roundtrip
+    # demo: file codec roundtrip + bitstream output
     from audiodec_tpu.bin import demo_file
     in_wav = str(root / "corpus" / "test" / "test0.wav")
     out_wav = str(root / "demo_out.wav")
+    codes_out = str(root / "demo.adtc")
     demo_file.main(["--encoder", final, "--decoder", final,
-                    "-i", in_wav, "-o", out_wav])
+                    "-i", in_wav, "-o", out_wav, "--codes-out", codes_out])
+    from audiodec_tpu.utils.bitstream import unpack_codes
+    idx, info = unpack_codes(open(codes_out, "rb").read())
+    assert info["num_q"] == 2 and idx.shape[1] == 2
     from audiodec_tpu.data import read_wav
     y, sr = read_wav(out_wav)
     x, _ = read_wav(in_wav)
