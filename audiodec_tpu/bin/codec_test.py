@@ -33,6 +33,10 @@ from audiodec_tpu.models.autoencoder import (
     encoder_apply,
     projector_apply,
 )
+from audiodec_tpu.models.fast import (
+    decoder_apply_folded,
+    encoder_apply_folded,
+)
 from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_apply
 from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
 from audiodec_tpu.parallel import make_mesh, make_sharded_codec
@@ -68,18 +72,27 @@ class BatchTranscoder:
     """Jitted batch encode/decode, optionally vocoder-decoded and/or
     seq-sharded.
 
-    dtype: compute dtype for the conv stacks.  float32 is the parity mode
-    (bit-exact RVQ indices vs the reference); bfloat16 is ~1.5x faster on
-    TPU with VQ distances kept in f32 (indices may differ from the f32 path
-    in rare near-tie cases — see BENCHMARKS.md)."""
+    dtype: compute dtype for the conv stacks.  float32 is the default;
+    bfloat16 halves activation traffic (~1.5x faster) with VQ distances kept
+    in f32.  stack='folded' (default) runs the low-channel residual stacks
+    in the folded-time Pallas kernel — the same bf16-multiply/f32-accumulate
+    numeric class as XLA's own TPU convolutions, ~1.2x faster end-to-end.
+    For bit-exact RVQ indices vs the torch reference ON TPU HARDWARE, run
+    with --precision highest (true-f32 multiplies, stack forced to 'xla');
+    the default TPU path, folded or not, can flip near-tie argmins (see
+    BENCHMARKS.md "numerics on hardware")."""
 
     def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, stack="folded"):
         self.params = params
         self.cfg = cfg
         self.voc = voc
         self.mesh = mesh
         self.dtype = dtype
+        use_folded = (stack == "folded" and cfg.mode == "causal"
+                      and cfg.codec == "audiodec")
+        enc_apply = encoder_apply_folded if use_folded else encoder_apply
+        dec_apply = decoder_apply_folded if use_folded else decoder_apply
         if mesh is not None:
             self.encode, self.decode = make_sharded_codec(
                 mesh, params, cfg, vocoder=voc)
@@ -96,8 +109,8 @@ class BatchTranscoder:
 
             @jax.jit
             def encode(x):
-                h = encoder_apply(enc_params["encoder"], x.astype(dtype),
-                                  cfg)
+                h = enc_apply(enc_params["encoder"], x.astype(dtype),
+                              cfg)
                 z = projector_apply(enc_params["projector"], h, cfg)
                 _, idx = rvq_forward_index(z.astype(jnp.float32),
                                            params["quantizer"])
@@ -107,7 +120,7 @@ class BatchTranscoder:
             def decode(idx):
                 zq = rvq_lookup(idx, params["quantizer"]).astype(dtype)
                 if voc is None:
-                    y = decoder_apply(dec_params, zq, cfg)
+                    y = dec_apply(dec_params, zq, cfg)
                 else:
                     y = vocoder_apply(dec_params, zq, voc[1])
                 return y.astype(jnp.float32)
@@ -130,7 +143,7 @@ class BatchTranscoder:
 
 
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
-               dp: int = 1, dtype=jnp.float32):
+               dp: int = 1, dtype=jnp.float32, stack="folded"):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -153,7 +166,7 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
     if seq > 1 or dp > 1:
         mesh = make_mesh(data=dp, seq=seq)
     return BatchTranscoder(params, cfg, voc=voc, mesh=mesh,
-                           dtype=dtype), enc_config
+                           dtype=dtype, stack=stack), enc_config
 
 
 def main(argv=None):
@@ -171,14 +184,30 @@ def main(argv=None):
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="conv compute dtype (bfloat16 = fast mode)")
+    parser.add_argument("--stack", default="folded",
+                        choices=["folded", "xla"],
+                        help="residual-stack impl: folded Pallas kernel "
+                             "(default; same numeric class as XLA TPU "
+                             "convs) or plain XLA")
+    parser.add_argument("--precision", default="default",
+                        choices=["default", "highest"],
+                        help="highest = true-f32 multiplies: bit-exact RVQ "
+                             "indices vs the torch reference on TPU "
+                             "hardware (slower; forces --stack xla)")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace into this dir")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    stack = args.stack
+    if args.precision == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
+        stack = "xla"
+
     transcoder, config = load_codec(
         args.encoder, args.decoder, args.seq, args.dp,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        stack=stack)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 

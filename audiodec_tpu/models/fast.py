@@ -15,8 +15,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from audiodec_tpu.models.autoencoder import GeneratorConfig
+from audiodec_tpu.models.autoencoder import GeneratorConfig, _res_unit_apply
 from audiodec_tpu.ops.conv import causal_conv1d, causal_conv_transpose1d
+from audiodec_tpu.ops.pallas.folded_stack import folded_residual_stack
 from audiodec_tpu.ops.pallas.resunit_kernel import (
     fused_residual_stack,
     res_stack_params,
@@ -65,6 +66,59 @@ def decoder_apply_blocked(p, z, cfg: GeneratorConfig):
         x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
         x = blocked_res_stack(x, bp["res"],
                               dilations=tuple(cfg.res_dilations), act=act)
+    return causal_conv1d(x, p["conv2"])
+
+
+def _use_folded(c: int, t: int, cfg: GeneratorConfig) -> bool:
+    # the folded kernel wins only where XLA is lane-starved: C<=32 (fold
+    # factor >=4).  At C=64/128 the fold's halo-offset FLOP amplification
+    # outweighs the lane fill (measured, tools/folded_probe.py).
+    f = max(1, 128 // max(c, 1))
+    return (cfg.nonlinear_activation == "ELU"
+            and not cfg.nonlinear_activation_params
+            and f >= 4 and t % f == 0)
+
+
+def res_stack_auto(x, block_params, cfg: GeneratorConfig, interpret=None):
+    """Residual stack: folded-time Pallas kernel where it beats XLA
+    (C<=32; tools/folded_probe.py), plain XLA chain otherwise."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, t, c = x.shape
+    if _use_folded(c, t, cfg):
+        return folded_residual_stack(
+            x, res_stack_params(block_params),
+            dilations=tuple(cfg.res_dilations),
+            kernel_size=cfg.res_kernel_size, interpret=interpret)
+    act = cfg.act
+    for j, d in enumerate(cfg.res_dilations):
+        x = _res_unit_apply(block_params["res"][j], x, dilation=d, act=act,
+                            mode="causal")
+    return x
+
+
+def encoder_apply_folded(p, x, cfg: GeneratorConfig, interpret=None):
+    """Batch causal encoder, folded-stack fast path.  x: (B, T, C).
+
+    Same structure as models.autoencoder.encoder_apply (batch mode); the
+    residual stacks run in the folded Pallas kernel where profitable."""
+    assert cfg.mode == "causal" and cfg.codec == "audiodec"
+    x = causal_conv1d(x, p["conv"])
+    for i, stride in enumerate(cfg.enc_strides):
+        bp = p["blocks"][i]
+        x = res_stack_auto(x, bp, cfg, interpret)
+        x = causal_conv1d(x, bp["conv"], stride=stride)
+    return x
+
+
+def decoder_apply_folded(p, z, cfg: GeneratorConfig, interpret=None):
+    """Batch causal decoder, folded-stack fast path.  z: (B, T', D)."""
+    assert cfg.mode == "causal" and cfg.codec == "audiodec"
+    x = causal_conv1d(z, p["conv1"])
+    for i, stride in enumerate(cfg.dec_strides):
+        bp = p["blocks"][i]
+        x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
+        x = res_stack_auto(x, bp, cfg, interpret)
     return causal_conv1d(x, p["conv2"])
 
 

@@ -1,0 +1,211 @@
+"""Time-folded fused causal residual stack (Pallas/TPU).
+
+The codec's hot loop is 3-unit residual stacks (ref:
+models/autoencoder/modules/residual_unit.py:49-81 — ELU -> causal
+conv(k=7, dil d) -> ELU -> 1x1 conv -> skip, d in (1,3,9)) at low channel
+counts (C=32/64) and high rates (T up to 480k).  XLA is *compute*-bound
+there: a (T, 32) conv uses 32 of the MXU's 128 lanes on both operands
+(~1/16 utilization; measured ~7.6 TFLOP/s, tools/stage_probe.py).
+
+This kernel restores full MXU utilization by **folding time into lanes**:
+
+    x (B, T, C)  ->  X (B, T/F, F*C)   with F = 128 // C (a pure reshape)
+
+In folded coordinates a causal dilated conv becomes a block-Toeplitz sum of
+full-width matmuls:
+
+    Y[u] = sum_o X[u + o] @ Wf_o,       o in a small set of non-positive
+                                        row offsets (see _fold_offsets)
+
+where each (F*C, F*C) folded weight Wf_o scatters the original taps
+w[j] (C, C) into (lane-group g -> lane-group p) blocks.  For C=32 (F=4) the
+three dilations need 3/6/13 offsets; every matmul is (rows, 128) @ (128, 128).
+The 1x1 conv folds to a block-diagonal kron(I_F, w).  The whole 3-unit stack
+runs in VMEM: HBM traffic is one read + one write of the activation (plus a
+~2% halo side-array), and every MAC runs at full lane width.
+
+Numerics: same dtype/accumulation class as the XLA conv path (dot with
+f32 accumulation); reduction order differs (taps grouped per row-offset), so
+results match XLA to f32 roundoff, not bit-exactly.
+
+Batch-mode semantics only (zero left context at t=0), matching
+models.autoencoder._res_unit_apply with state=None.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_ROWS = 1024
+
+
+def _elu(x):
+    # explicit form: Pallas TPU lacks an expm1 lowering (jax.nn.elu uses it).
+    # Compute in f32: Mosaic on v5e has no bf16 vector compare, and this
+    # matches XLA's elu-then-cast numerics for the bf16 storage path.
+    xf = x.astype(jnp.float32)
+    return jnp.where(xf > 0, xf, jnp.exp(jnp.minimum(xf, 0.0)) - 1.0)
+
+
+def _fold_offsets(k: int, d: int, F: int) -> list:
+    """Distinct folded-row offsets used by a causal conv(k, dilation d) under
+    time-fold F.  All are <= 0; the list is ascending and ends at 0."""
+    span = (k - 1) * d
+    return sorted({(p + j * d - span) // F
+                   for p in range(F) for j in range(k)})
+
+
+def fold_conv_weight(w: jnp.ndarray, dilation: int, F: int) -> jnp.ndarray:
+    """(k, C, C) tap weights -> (n_offsets, F*C, F*C) folded weights.
+
+    Wf[i, g*C:(g+1)*C, p*C:(p+1)*C] = w[j] for the (p, j) pairs whose source
+    row offset is offsets[i] and source lane group is g."""
+    k, c, c_out = w.shape
+    assert c == c_out
+    span = (k - 1) * dilation
+    offsets = _fold_offsets(k, dilation, F)
+    pos = {o: i for i, o in enumerate(offsets)}
+    fc = F * c
+    wf = jnp.zeros((len(offsets), fc, fc), w.dtype)
+    for p in range(F):
+        for j in range(k):
+            o, g = divmod(p + j * dilation - span, F)
+            wf = wf.at[pos[o], g * c:(g + 1) * c, p * c:(p + 1) * c].set(w[j])
+    return wf
+
+
+def fold_1x1_weight(w: jnp.ndarray, F: int) -> jnp.ndarray:
+    """(1, C, C) -> block-diagonal (F*C, F*C)."""
+    return jnp.kron(jnp.eye(F, dtype=w.dtype), w[0])
+
+
+def _pick_tile(n_rows: int, target: int) -> int:
+    """Largest divisor of n_rows that is <= target and a multiple of 16
+    (sublane-aligned for f32 and bf16); falls back to any divisor."""
+    for cand in range(min(target, n_rows), 15, -1):
+        if n_rows % cand == 0 and cand % 16 == 0:
+            return cand
+    for cand in range(min(target, n_rows), 0, -1):
+        if n_rows % cand == 0:
+            return cand
+    return n_rows
+
+
+@partial(jax.jit, static_argnames=("dilations", "kernel_size", "tile_rows",
+                                   "bf16_dots", "fold", "interpret"))
+def folded_residual_stack(x, unit_params: Tuple, *,
+                          dilations: Tuple[int, ...] = (1, 3, 9),
+                          kernel_size: int = 7,
+                          tile_rows: int = DEFAULT_TILE_ROWS,
+                          bf16_dots: bool = True,
+                          fold: int = 0,
+                          interpret: bool = False):
+    """Apply a chain of causal residual units, fused, in folded-time layout.
+
+    x: (B, T, C); unit_params: tuple of (w1 (k, C, C), w2 (1, C, C)) per
+    unit, one per dilation.  Returns (B, T, C), batch-mode causal semantics
+    (zero left padding), equivalent to chaining _res_unit_apply.
+
+    bf16_dots: run the MXU matmuls with bf16 operands and f32 accumulation.
+    This is the SAME numeric class as XLA's TPU convolutions (which multiply
+    in bf16 single-pass under default precision even for f32 inputs —
+    measured ~2e-3 relative deviation between XLA-f32 and true-f32 on real
+    shapes); Mosaic would otherwise emit multi-pass f32 matmuls ~3x slower.
+    Set False for true-f32 multiplies (interpret-mode parity tests).
+    """
+    b, t, c = x.shape
+    k = kernel_size
+    # fold factor: f*C = 128 (one full lane tile) measures fastest — Mosaic's
+    # per-dot rate does not grow past K=N=128, so larger folds only add
+    # halo-offset FLOPs (tools/folded_probe.py fold sweep)
+    f = fold if fold else max(1, 128 // c)
+    while f > 1 and t % f:
+        f //= 2
+    fc = f * c
+    n_rows = t // f
+
+    per_unit = []  # (offsets, O)
+    h_total = 0
+    for d in dilations:
+        offs = _fold_offsets(k, d, f)
+        per_unit.append((offs, -offs[0]))
+        h_total += -offs[0]
+
+    xf = x.reshape(b, n_rows, fc)
+    rows_tile = _pick_tile(n_rows, tile_rows)
+    n_tiles = n_rows // rows_tile
+
+    # halo side-array: the H rows preceding each tile (zeros before t=0).
+    # A tiny gather (~H/rows_tile of x) so the kernel reads each row once.
+    xp = jnp.pad(xf, ((0, 0), (h_total, 0), (0, 0)))
+    starts = jnp.arange(n_tiles) * rows_tile
+
+    def take(s):
+        return jax.lax.dynamic_slice(xp, (0, s, 0), (b, h_total, fc))
+
+    halos = jax.vmap(take, out_axes=1)(starts)  # (B, n_tiles, H, FC)
+
+    flat_w = []
+    in_specs = [
+        pl.BlockSpec((1, 1, h_total, fc), lambda bi, ti: (bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows_tile, fc), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dot_dtype = jnp.bfloat16 if bf16_dots else x.dtype
+    for (w1, w2), d in zip(unit_params, dilations):
+        wf = fold_conv_weight(w1, d, f).astype(dot_dtype)
+        w11 = fold_1x1_weight(w2, f).astype(dot_dtype)
+        flat_w.append(wf)
+        flat_w.append(w11)
+        in_specs.append(pl.BlockSpec(
+            wf.shape, (lambda nd: lambda bi, ti: (0,) * nd)(wf.ndim),
+            memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            w11.shape, (lambda nd: lambda bi, ti: (0,) * nd)(w11.ndim),
+            memory_space=pltpu.VMEM))
+
+    def kernel(halo_ref, x_ref, *refs):
+        out_ref = refs[-1]
+        v = jnp.concatenate([halo_ref[0, 0], x_ref[0]], axis=0)
+        length = rows_tile + h_total
+        ridx = 0
+        for offs, o_span in per_unit:
+            wf_ref = refs[ridx]
+            w11_ref = refs[ridx + 1]
+            ridx += 2
+            y1 = _elu(v).astype(dot_dtype)
+            out_len = length - o_span
+            acc = jnp.zeros((out_len, fc), jnp.float32)
+            for i, o in enumerate(offs):
+                s = o + o_span
+                acc += jax.lax.dot_general(
+                    y1[s:s + out_len, :], wf_ref[i],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            y2 = jax.lax.dot_general(
+                _elu(acc).astype(dot_dtype), w11_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            v = v[o_span:, :] + y2.astype(v.dtype)
+            length = out_len
+        out_ref[0] = v
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows_tile, fc),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows, fc), x.dtype),
+        interpret=interpret,
+    )(halos, xf, *flat_w)
+    return out.reshape(b, t, c)

@@ -2,7 +2,10 @@
 
 Workload (BASELINE.json north star): full symAD_vctk_48000_hop300
 architecture, batch transcode (encode -> RVQ indices -> decode) of 48 kHz
-audio.  Prints ONE JSON line:
+audio, f32 with folded-Pallas residual stacks (the default batch path;
+numerically the same bf16-multiply/f32-accumulate class as XLA's own TPU
+convolutions — see BENCHMARKS.md "numerics on hardware").  Prints ONE JSON
+line:
   {"metric": "encode_decode_rtf", "value": N, "unit": "x_realtime",
    "vs_baseline": N}
 vs_baseline is measured RTF / 1000 (the north-star target "RTF > 1000x on a
@@ -25,12 +28,14 @@ import jax.numpy as jnp
 def main():
     from audiodec_tpu.models.autoencoder import (
         GeneratorConfig,
-        decoder_apply,
-        encoder_apply,
         generator_init,
         projector_apply,
     )
-    from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
+    from audiodec_tpu.models.fast import (
+        decoder_apply_folded as decoder_apply,
+        encoder_apply_folded as encoder_apply,
+    )
+    from audiodec_tpu.ops.vq import rvq_forward_index
 
     cfg = GeneratorConfig()  # symAD_vctk_48000_hop300
     params = generator_init(jax.random.PRNGKey(0), cfg)
@@ -45,10 +50,11 @@ def main():
 
     @jax.jit
     def transcode(params, x):
+        # ref codecTest.py:78-95 semantics: quantizer.forward's zq goes
+        # straight to the decoder (no re-embedding of the indices)
         h = encoder_apply(params["encoder"], x, cfg)
         z = projector_apply(params["projector"], h, cfg)
-        _, idx = rvq_forward_index(z, params["quantizer"])
-        zq = rvq_lookup(idx, params["quantizer"])
+        zq, idx = rvq_forward_index(z, params["quantizer"])
         y = decoder_apply(params["decoder"], zq, cfg)
         return idx, y
 

@@ -1,0 +1,145 @@
+"""Folded-time fused residual stack == XLA residual chain (interpret mode).
+
+The folded kernel (ops/pallas/folded_stack.py) reshapes (T, C) to
+(T/F, F*C) and runs each dilated causal conv as a block-Toeplitz sum of
+full-lane matmuls.  These tests pin:
+  - exact math (bf16_dots=False) against the XLA chain for every channel
+    width / fold factor the codec uses, including ragged tile edges;
+  - the fold-offset bookkeeping (halo sizes, offset sets);
+  - the integrated folded encoder/decoder fast paths against the plain
+    batch path (bf16-dot tolerance), and their use inside the full
+    generator (RVQ indices unchanged on the golden checkpoint).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audiodec_tpu.models.autoencoder import (
+    GeneratorConfig,
+    _res_unit_apply,
+    decoder_apply,
+    encoder_apply,
+    generator_init,
+)
+from audiodec_tpu.models.fast import (
+    decoder_apply_folded,
+    encoder_apply_folded,
+)
+from audiodec_tpu.ops.pallas.folded_stack import (
+    _fold_offsets,
+    fold_conv_weight,
+    folded_residual_stack,
+)
+
+
+def _xla_stack(ups, x, dils):
+    for (w1, w2), d in zip(ups, dils):
+        x = _res_unit_apply({"conv1": w1, "conv2": w2}, x, dilation=d,
+                            act=jax.nn.elu, mode="causal")
+    return x
+
+
+def _rand_units(key, c, k=7, n=3):
+    ks = jax.random.split(key, 2 * n)
+    return tuple(({"w": 0.3 * jax.random.normal(ks[2 * i], (k, c, c))},
+                  {"w": 0.3 * jax.random.normal(ks[2 * i + 1], (1, c, c))})
+                 for i in range(n))
+
+
+@pytest.mark.parametrize("c,t,fold", [
+    (32, 1920, 0),    # fold=0 exercises the auto default (F=4)
+    (32, 1920, 4),
+    (32, 1920, 16),
+    (64, 960, 0),
+    (128, 480, 0),
+    (256, 512, 0),
+    (32, 1800, 4),    # T/F=450: no aligned tile divisor (ragged sublanes)
+])
+def test_folded_stack_matches_xla(c, t, fold):
+    key = jax.random.PRNGKey(c + t + fold)
+    ups = _rand_units(key, c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, t, c))
+    ref = _xla_stack(ups, x, (1, 3, 9))
+    kp = tuple((u[0]["w"], u[1]["w"]) for u in ups)
+    out = folded_residual_stack(x, kp, dilations=(1, 3, 9), tile_rows=128,
+                                fold=fold, bf16_dots=False, interpret=True)
+    # differences are pure f32 reduction-order noise (taps are summed per
+    # folded row offset instead of per tap), relative to values of O(10)
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5 * scale)
+
+
+def test_folded_stack_bf16_dots_close():
+    """bf16 multiplies stay within bf16-class error of the f32 chain (the
+    same class as XLA's TPU conv emitter, which also multiplies in bf16)."""
+    c, t = 32, 1920
+    ups = _rand_units(jax.random.PRNGKey(0), c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, t, c))
+    ref = _xla_stack(ups, x, (1, 3, 9))
+    kp = tuple((u[0]["w"], u[1]["w"]) for u in ups)
+    out = folded_residual_stack(x, kp, dilations=(1, 3, 9), tile_rows=128,
+                                bf16_dots=True, interpret=True)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.03
+
+
+def test_fold_offsets_and_weights():
+    # C=32, F=4, k=7: d=1 -> 3 offsets, d=3 -> 6, d=9 -> 12 (gaps where no
+    # (lane phase, tap) pair lands)
+    assert _fold_offsets(7, 1, 4) == [-2, -1, 0]
+    assert len(_fold_offsets(7, 3, 4)) == 6
+    offs9 = _fold_offsets(7, 9, 4)
+    assert len(offs9) == 12 and offs9[0] == -14 and offs9[-1] == 0
+    # F=1 degenerates to the tap offsets themselves
+    assert _fold_offsets(7, 9, 1) == [-54, -45, -36, -27, -18, -9, 0]
+    # every tap value appears exactly F times in the folded weights
+    w = jnp.arange(7 * 2 * 2, dtype=jnp.float32).reshape(7, 2, 2) + 1
+    wf = fold_conv_weight(w, 3, 4)
+    assert wf.shape == (6, 8, 8)
+    total = float(jnp.sum(wf))
+    assert np.isclose(total, 4 * float(jnp.sum(w)))
+
+
+def test_folded_encoder_decoder_match_plain():
+    cfg = GeneratorConfig()
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(0.3 * np.random.default_rng(0)
+                    .standard_normal((1, 4 * 300, 1)).astype(np.float32))
+    ref_h = encoder_apply(params["encoder"], x, cfg)
+    out_h = encoder_apply_folded(params["encoder"], x, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               rtol=5e-2, atol=5e-3)
+    z = jnp.asarray(0.3 * np.random.default_rng(1)
+                    .standard_normal((1, 4, cfg.code_dim)).astype(np.float32))
+    ref_y = decoder_apply(params["decoder"], z, cfg)
+    out_y = decoder_apply_folded(params["decoder"], z, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_y), np.asarray(ref_y),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_folded_encoder_bit_exact_indices_vs_golden():
+    """RVQ indices through the folded encoder equal the reference torch
+    golden (the bf16-dot deviation does not flip nearest-codebook argmins
+    on the golden data)."""
+    import os
+
+    from audiodec_tpu.models.autoencoder import projector_apply
+    from audiodec_tpu.ops.vq import rvq_forward_index
+    from audiodec_tpu.utils.torch_import import import_autoencoder
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "gen_symad.npz")
+    data = np.load(golden)
+    sd = {k[len("sd__"):]: data[k] for k in data.files
+          if k.startswith("sd__")}
+    cfg = GeneratorConfig()
+    params = import_autoencoder(sd, cfg)
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+    h = encoder_apply_folded(params["encoder"], x, cfg, interpret=True)
+    z = projector_apply(params["projector"], h, cfg)
+    _, idx = rvq_forward_index(z, params["quantizer"], flatten=True)
+    np.testing.assert_array_equal(np.asarray(idx[0]).T, data["idx_stream"])
