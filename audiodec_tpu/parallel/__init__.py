@@ -4,3 +4,10 @@ from audiodec_tpu.parallel.codec import (
     decoder_halo_frames,
     make_sharded_codec,
 )
+from audiodec_tpu.parallel.distributed import (
+    global_mesh,
+    global_to_host_local,
+    host_local_to_global,
+    init_distributed,
+    process_shard,
+)

@@ -106,8 +106,9 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
     Returns (encode, decode):
       encode(x: (B, T, C) sharded (data, seq)) -> idx (B, T//hop, Q)
       decode(idx) -> y (B, T, C)
-    T must be divisible by seq_size * hop.  Results are bit-identical to the
-    single-device batch path.
+    T must be divisible by seq_size * hop.  RVQ indices are bit-identical to
+    the single-device batch path; waveforms match to f32 rounding (XLA may
+    reassociate conv reductions across the different padded shapes).
     """
     hop = cfg.hop_length
     h_samples = encoder_halo_samples(cfg)
