@@ -14,3 +14,15 @@ A from-scratch re-design of the capabilities of facebookresearch/AudioDec
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+# `JAX_PLATFORMS=cpu python -m audiodec_tpu.bin.<cli>` reliably runs on CPU
+# (multi-host CPU rigs, CI) instead of silently opening the TPU.
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass

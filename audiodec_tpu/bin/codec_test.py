@@ -135,9 +135,22 @@ class BatchTranscoder:
             if pad:
                 x = np.concatenate(
                     [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-        idx = self.encode(jnp.asarray(x))
+        if jax.process_count() > 1:
+            # every process holds the identical full batch (bucketing is
+            # deterministic); carve out this process's contiguous rows and
+            # assemble the global sharded input
+            from jax.sharding import PartitionSpec as P
+            from audiodec_tpu.parallel import host_local_to_global
+            nproc, pid = jax.process_count(), jax.process_index()
+            rows_pp = x.shape[0] // nproc
+            xg = host_local_to_global(
+                self.mesh, P("data", "seq", None),
+                x[pid * rows_pp:(pid + 1) * rows_pp])
+        else:
+            xg = jnp.asarray(x)
+        idx = self.encode(xg)
         y = self.decode(idx)
-        if pad:
+        if pad and jax.process_count() == 1:
             idx, y = idx[:-pad], y[:-pad]
         return idx, y
 
@@ -163,7 +176,16 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
                                              template=voc_t)
             voc = (voc_params, voc_cfg)
     mesh = None
-    if seq > 1 or dp > 1:
+    if jax.process_count() > 1:
+        # multi-host: the mesh must span every process's devices, with
+        # contiguous (process-major) 'data' rows per host
+        from audiodec_tpu.parallel import global_mesh
+        mesh = global_mesh(data=-1 if dp <= 1 else dp, seq=seq)
+        assert mesh.shape["data"] % jax.process_count() == 0, (
+            f"data axis {mesh.shape['data']} must divide evenly over "
+            f"{jax.process_count()} processes (pick --seq to divide the "
+            f"per-host device count)")
+    elif seq > 1 or dp > 1:
         mesh = make_mesh(data=dp, seq=seq)
     return BatchTranscoder(params, cfg, voc=voc, mesh=mesh,
                            dtype=dtype, stack=stack), enc_config
@@ -196,8 +218,19 @@ def main(argv=None):
                              "hardware (slower; forces --stack xla)")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace into this dir")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: coordinator address host:port "
+                             "(all hosts run this CLI with the same "
+                             "arguments; omit on single host)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+
+    if args.coordinator is not None:
+        from audiodec_tpu.parallel import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     stack = args.stack
     if args.precision == "highest":
@@ -226,10 +259,15 @@ def main(argv=None):
     n_utts = 0
     trace = device_trace(args.profile)
     trace.__enter__()
+    multihost = jax.process_count() > 1
     for uids, batch, lens in bucket_batches(dataset, args.batch_size, chunk):
         t0 = time.perf_counter()
         idx, y = transcoder(batch)
-        y = np.asarray(y)
+        if multihost:
+            from audiodec_tpu.parallel import host_local_rows
+            lo, y_np = host_local_rows(y)  # this host's rows only
+        else:
+            lo, y_np = 0, np.asarray(y)
         dt = time.perf_counter() - t0
         audio_secs = sum(lens) / sr
         total_audio += audio_secs
@@ -237,13 +275,22 @@ def main(argv=None):
         n_utts += len(uids)
         logging.info("batch of %d (T=%d): %.3fs, RTF=%.1fx", len(uids),
                      batch.shape[1], dt, audio_secs / dt)
-        for j, uid in enumerate(uids):
-            write_wav(os.path.join(outdir, f"{uid}_output.wav"),
-                      y[j, :lens[j]], sr)
+        for j in range(y_np.shape[0]):
+            if lo + j < len(uids):  # skip data-axis padding rows
+                write_wav(os.path.join(outdir, f"{uids[lo + j]}_output.wav"),
+                          y_np[j, :lens[lo + j]], sr)
     trace.__exit__(None, None, None)
+    if multihost:
+        # slowest host bounds the pipeline; every host transcoded every
+        # batch (its own rows of it), so audio/utt totals are global already
+        from jax.experimental import multihost_utils
+        total_time = float(np.max(np.asarray(
+            multihost_utils.process_allgather(np.float64(total_time)))))
     rtf = total_audio / total_time if total_time else 0.0
-    print(json.dumps({"utterances": n_utts, "audio_seconds": total_audio,
-                      "wall_seconds": total_time, "rtf": rtf}))
+    if jax.process_index() == 0:
+        print(json.dumps({"utterances": n_utts, "audio_seconds": total_audio,
+                          "wall_seconds": total_time, "rtf": rtf,
+                          "hosts": jax.process_count()}))
 
 
 if __name__ == "__main__":

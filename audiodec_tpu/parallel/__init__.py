@@ -7,6 +7,7 @@ from audiodec_tpu.parallel.codec import (
 from audiodec_tpu.parallel.distributed import (
     global_mesh,
     global_to_host_local,
+    host_local_rows,
     host_local_to_global,
     init_distributed,
     process_shard,

@@ -79,6 +79,28 @@ def global_to_host_local(arr: jax.Array) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
+def host_local_rows(arr: jax.Array) -> tuple:
+    """Stitch this process's addressable shards of a batch-sharded global
+    array into its contiguous block of rows.
+
+    Returns (row_offset, block): `block` is a numpy array of the rows this
+    process owns (mesh laid out process-major, so the block is contiguous);
+    no cross-host traffic.
+    """
+    by_row = {}
+    for s in arr.addressable_shards:
+        r0 = s.index[0].start or 0
+        c0 = (s.index[1].start or 0) if arr.ndim > 1 else 0
+        by_row.setdefault(r0, {})[c0] = np.asarray(s.data)
+    lo = min(by_row)
+    rows = []
+    for r0 in sorted(by_row):
+        parts = by_row[r0]
+        rows.append(np.concatenate([parts[c] for c in sorted(parts)], axis=1)
+                    if len(parts) > 1 else next(iter(parts.values())))
+    return lo, np.concatenate(rows, axis=0)
+
+
 def process_shard(items: Sequence, pid: Optional[int] = None,
                   nprocs: Optional[int] = None) -> list:
     """Strided split of a work list across processes (file-level data

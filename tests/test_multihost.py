@@ -2,26 +2,101 @@
 runtime, global ('data','seq') mesh, cross-host chunk-halo transcode + DP
 training (SURVEY.md §2.1, BASELINE.json "N>=2 hosts").
 
-The heavy lifting lives in tools/multihost_probe.py (it must run in fresh
-processes with their own JAX backends); this test drives it end-to-end.
+The heavy lifting lives in tools/multihost_probe.py and the codec_test CLI
+(they must run in fresh processes with their own JAX backends); these tests
+drive them end-to-end.
 """
 
+import json
 import os
 import subprocess
 import sys
 
-import pytest
+import numpy as np
+import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE = os.path.join(REPO, "tools", "multihost_probe.py")
 
 
-def test_two_process_transcode_and_train():
+def _clean_env(**extra):
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    env["AUDIODEC_MH_PORT"] = "23981"
+    env.update(extra)
+    return env
+
+
+def test_two_process_transcode_and_train():
     out = subprocess.run(
         [sys.executable, PROBE, "--nprocs", "2", "--devices-per-proc", "2"],
-        env=env, capture_output=True, text=True, timeout=540)
+        env=_clean_env(AUDIODEC_MH_PORT="23981"),
+        capture_output=True, text=True, timeout=540)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multihost_probe: OK" in out.stdout
+
+
+def test_codec_test_cli_multihost(tmp_path):
+    """codec_test CLI on 2 hosts x 2 devices: utterances data-sharded across
+    hosts, time seq-sharded within each host; per-host output writing and
+    aggregated RTF.  Outputs must match a single-process run to PCM16
+    rounding."""
+    from test_cli_e2e import TINY_CONFIG
+    from audiodec_tpu.data import read_wav, write_wav
+    from audiodec_tpu.models.autoencoder import GeneratorConfig, \
+        generator_init
+    from audiodec_tpu.train.checkpoint import save_checkpoint
+    import jax
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    rng = np.random.default_rng(3)
+    hop = 300
+    for i in range(4):
+        t = (8 + 2 * i) * hop
+        x = (0.3 * rng.standard_normal((t, 1))).clip(-1, 1).astype(np.float32)
+        write_wav(str(corpus / f"utt{i}.wav"), x, 48000)
+
+    gp = TINY_CONFIG["generator_params"]
+    cfg = GeneratorConfig(encode_channels=gp["encode_channels"],
+                          decode_channels=gp["decode_channels"],
+                          code_dim=gp["code_dim"],
+                          codebook_num=gp["codebook_num"],
+                          codebook_size=gp["codebook_size"])
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "exp" / "checkpoint-0.ckpt")
+    save_checkpoint(ckpt, {"gen": params}, 0)
+    with open(tmp_path / "exp" / "config.yml", "w") as f:
+        yaml.safe_dump(dict(TINY_CONFIG), f)
+
+    base = ["-m", "audiodec_tpu.bin.codec_test", "--encoder", ckpt,
+            "--decoder", ckpt, "--data-path", str(corpus),
+            "--batch-size", "4", "--stack", "xla"]
+
+    out_single = str(tmp_path / "out_single")
+    r = subprocess.run([sys.executable] + base + ["--outdir", out_single],
+                       env=_clean_env(JAX_PLATFORMS="cpu"), cwd=REPO,
+                       capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out_mh = str(tmp_path / "out_mh")
+    env = _clean_env(JAX_PLATFORMS="cpu",
+                     XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = [subprocess.Popen(
+        [sys.executable] + base + [
+            "--outdir", out_mh, "--seq", "2",
+            "--coordinator", "localhost:23983",
+            "--num-processes", "2", "--process-id", str(i)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=540) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    stats = json.loads([l for l in outs[0][0].splitlines()
+                        if l.startswith("{")][-1])
+    assert stats["hosts"] == 2 and stats["utterances"] == 4
+
+    for i in range(4):
+        y1, _ = read_wav(os.path.join(out_single, f"utt{i}_output.wav"))
+        y2, _ = read_wav(os.path.join(out_mh, f"utt{i}_output.wav"))
+        # identical math; PCM16 quantization may flip the last bit on
+        # f32-rounding ties
+        np.testing.assert_allclose(y1, y2, atol=1.01 / 32767.0)
