@@ -168,13 +168,31 @@ def _fusion_init(key, cfg: VocoderConfig, channels):
 def _fusion_apply(p, x, cfg: VocoderConfig, state=None):
     act = cfg.act
     if cfg.grouped:
-        xg = jnp.tile(x, (1, 1, cfg.groups))  # (B, T, n*C) channel repeat
         if state is None:
-            xg = _resblock_apply(p, xg, dilations=cfg.resblock_dilations[0],
-                                 groups=cfg.groups,
-                                 use_additional=cfg.use_additional_convs,
-                                 act=act)
+            # Batch mode: run the grouped resblock as `groups` independent
+            # dense resblocks on the (untiled) input — identical math to the
+            # reference's channel-repeat + grouped conv (each input group is
+            # a copy of x), but keeps activations in the native (B, T, C)
+            # layout instead of a lane-padded grouped-conv form that blows
+            # HBM up 4x at C=32 on TPU.
+            G, C = cfg.groups, x.shape[-1]
+
+            def slice_group(conv_p, g):
+                pg = {"w": conv_p["w"][..., g * C:(g + 1) * C]}
+                if "b" in conv_p:
+                    pg["b"] = conv_p["b"][g * C:(g + 1) * C]
+                return pg
+
+            outs = []
+            for g in range(G):
+                pg = {"convs1": [slice_group(c, g) for c in p["convs1"]],
+                      "convs2": [slice_group(c, g) for c in p["convs2"]]}
+                outs.append(_resblock_apply(
+                    pg, x, dilations=cfg.resblock_dilations[0], groups=1,
+                    use_additional=cfg.use_additional_convs, act=act))
+            xg = jnp.concatenate(outs, axis=-1)
             return causal_conv1d(xg, p["conv_out"])
+        xg = jnp.tile(x, (1, 1, cfg.groups))  # (B, T, n*C) channel repeat
         xg, ns = _resblock_apply(p, xg, dilations=cfg.resblock_dilations[0],
                                  groups=cfg.groups,
                                  use_additional=cfg.use_additional_convs,

@@ -103,6 +103,23 @@ def causal_transpose_state_init(batch: int, in_channels: int, kernel_size: int,
 
 def _conv1d(x, w, b, *, stride=1, dilation=1, padding, groups=1,
             lhs_dilation=1):
+    if groups > 1:
+        # Lower grouped convs to per-group dense convs.  XLA:TPU lays a
+        # feature_group_count conv out as (B, T, G, C/G) with the per-group
+        # channel dim padded to 128 lanes — 4x HBM blowup at C/G=32 (OOMs
+        # the B=16 vocoder decode).  G dense convs keep the native (B, T, C)
+        # layout; the math is identical.
+        cin_g = x.shape[-1] // groups
+        cout_g = w.shape[-1] // groups
+        ys = [
+            _conv1d(x[..., g * cin_g:(g + 1) * cin_g],
+                    w[..., g * cout_g:(g + 1) * cout_g], None,
+                    stride=stride, dilation=dilation, padding=padding,
+                    lhs_dilation=lhs_dilation)
+            for g in range(groups)
+        ]
+        y = jnp.concatenate(ys, axis=-1)
+        return y if b is None else y + b
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
