@@ -93,6 +93,11 @@ class BatchTranscoder:
                       and cfg.codec == "audiodec")
         enc_apply = encoder_apply_folded if use_folded else encoder_apply
         dec_apply = decoder_apply_folded if use_folded else decoder_apply
+        if stack == "folded":
+            from audiodec_tpu.models.fast import vocoder_apply_folded
+            voc_apply = vocoder_apply_folded
+        else:
+            voc_apply = vocoder_apply
         if mesh is not None:
             self.encode, self.decode = make_sharded_codec(
                 mesh, params, cfg, vocoder=voc)
@@ -122,7 +127,7 @@ class BatchTranscoder:
                 if voc is None:
                     y = dec_apply(dec_params, zq, cfg)
                 else:
-                    y = vocoder_apply(dec_params, zq, voc[1])
+                    y = voc_apply(dec_params, zq, voc[1])
                 return y.astype(jnp.float32)
 
             self.encode, self.decode = encode, decode

@@ -144,3 +144,101 @@ def decoder_apply_fused(p, z, cfg: GeneratorConfig, tile_t: int = 1024,
         x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
         x = _stack(x, bp, cfg, tile_t, interpret)
     return causal_conv1d(x, p["conv2"])
+
+
+# ---------------------------------------------------------------------------
+# vocoder fast path (HiFiGAN resblocks in the folded kernel)
+# ---------------------------------------------------------------------------
+
+def _voc_resblock_params(p_block):
+    """((w1, w2), ...) + biases from a vocoder resblock's convs1/convs2
+    lists (models.vocoder param tree)."""
+    units = tuple((c1["w"], c2["w"])
+                  for c1, c2 in zip(p_block["convs1"], p_block["convs2"]))
+    if "b" in p_block["convs1"][0]:
+        biases = tuple((c1["b"], c2["b"])
+                       for c1, c2 in zip(p_block["convs1"],
+                                         p_block["convs2"]))
+    else:
+        biases = None
+    return units, biases
+
+
+def _voc_use_folded(cfg, c: int, t: int) -> bool:
+    f = max(1, 128 // max(c, 1))
+    return (cfg.use_additional_convs
+            and cfg.nonlinear_activation == "LeakyReLU"
+            and f >= 4 and t % f == 0)
+
+
+def _voc_resblock_folded(p_block, x, *, kernel_size, dilations, slope,
+                         interpret):
+    units, biases = _voc_resblock_params(p_block)
+    return folded_residual_stack(
+        x, units, dilations=tuple(dilations), kernel_size=kernel_size,
+        kernel_size2=kernel_size, act="leaky_relu", act_param=slope,
+        biases=biases, interpret=interpret)
+
+
+def _voc_fusion_auto(p, x, cfg, interpret):
+    """Fusion block (MultiGroupConv1d / MultiReceptiveField) with folded
+    resblocks where profitable; falls back to the plain XLA path."""
+    from audiodec_tpu.models.vocoder import _fusion_apply
+
+    b, t, c = x.shape
+    if not _voc_use_folded(cfg, c, t):
+        return _fusion_apply(p, x, cfg)
+    slope = dict(cfg.nonlinear_activation_params).get("negative_slope", 0.01)
+    if cfg.grouped:
+        # groups -> independent dense resblocks on the untiled input
+        # (identical math to channel-repeat + grouped conv; see
+        # models.vocoder._fusion_apply)
+        G = cfg.groups
+
+        def slice_group(conv_p, g):
+            pg = {"w": conv_p["w"][..., g * c:(g + 1) * c]}
+            if "b" in conv_p:
+                pg["b"] = conv_p["b"][g * c:(g + 1) * c]
+            return pg
+
+        outs = []
+        for g in range(G):
+            pg = {"convs1": [slice_group(cp, g) for cp in p["convs1"]],
+                  "convs2": [slice_group(cp, g) for cp in p["convs2"]]}
+            outs.append(_voc_resblock_folded(
+                pg, x, kernel_size=cfg.resblock_kernel_sizes[0],
+                dilations=cfg.resblock_dilations[0], slope=slope,
+                interpret=interpret))
+        xg = jnp.concatenate(outs, axis=-1)
+        return causal_conv1d(xg, p["conv_out"])
+    n = len(cfg.resblock_kernel_sizes)
+    cs = 0.0
+    for i in range(n):
+        cs = cs + _voc_resblock_folded(
+            p["blocks"][i], x, kernel_size=cfg.resblock_kernel_sizes[i],
+            dilations=cfg.resblock_dilations[i], slope=slope,
+            interpret=interpret)
+    return cs / n
+
+
+def vocoder_apply_folded(p, c, cfg, interpret=None):
+    """Batch vocoder decode, folded-resblock fast path.  c: (B, T, D) codes.
+
+    Same structure as models.vocoder.vocoder_apply (batch mode, ref:
+    models/vocoder/HiFiGAN.py:141-161); the low-channel/high-rate resblock
+    stages run in the folded Pallas kernel."""
+    from audiodec_tpu.ops.activations import get_activation
+    from audiodec_tpu.ops.conv import causal_conv_transpose1d as convT
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    act = cfg.act
+    lrelu = get_activation("LeakyReLU")
+    if cfg.stats and "mean" in p:
+        c = (c - p["mean"]) / p["scale"]
+    c = causal_conv1d(c, p["input_conv"])
+    for i, s in enumerate(cfg.upsample_scales):
+        c = convT(act(c), p["upsamples"][i], stride=s)
+        c = _voc_fusion_auto(p["blocks"][i], c, cfg, interpret)
+    c = causal_conv1d(lrelu(c), p["output_conv"])
+    return jnp.tanh(c)

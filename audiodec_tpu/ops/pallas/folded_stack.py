@@ -98,20 +98,37 @@ def _pick_tile(n_rows: int, target: int) -> int:
     return n_rows
 
 
-@partial(jax.jit, static_argnames=("dilations", "kernel_size", "tile_rows",
-                                   "bf16_dots", "fold", "interpret"))
+@partial(jax.jit, static_argnames=("dilations", "kernel_size",
+                                   "kernel_size2", "act", "act_param",
+                                   "tile_rows", "bf16_dots", "fold",
+                                   "interpret"))
 def folded_residual_stack(x, unit_params: Tuple, *,
                           dilations: Tuple[int, ...] = (1, 3, 9),
                           kernel_size: int = 7,
+                          kernel_size2: int = 1,
+                          act: str = "elu",
+                          act_param: float = 0.0,
+                          biases: Tuple = None,
                           tile_rows: int = DEFAULT_TILE_ROWS,
                           bf16_dots: bool = True,
                           fold: int = 0,
                           interpret: bool = False):
     """Apply a chain of causal residual units, fused, in folded-time layout.
 
-    x: (B, T, C); unit_params: tuple of (w1 (k, C, C), w2 (1, C, C)) per
+    x: (B, T, C); unit_params: tuple of (w1 (k, C, C), w2 (k2, C, C)) per
     unit, one per dilation.  Returns (B, T, C), batch-mode causal semantics
     (zero left padding), equivalent to chaining _res_unit_apply.
+
+    The unit is act -> conv(k, d) -> act -> conv(k2, 1) -> +skip.  With the
+    defaults (k2=1, act='elu', no biases) this is the AE residual unit
+    (ref: residual_unit.py:49-81); with k2=k, act='leaky_relu'
+    (act_param = slope) and biases it is the HiFiGAN resblock unit
+    (ref: residual_block.py:23-106).
+
+    biases: optional tuple of (b1 (C,), b2 (C,)) per unit.  When given, the
+    kernel masks conv outputs at absolute rows before t=0 back to zero so
+    the intermediate zero-left-pad semantics match the XLA chain (without
+    biases, zeros propagate through act/conv on their own).
 
     bf16_dots: run the MXU matmuls with bf16 operands and f32 accumulation.
     This is the SAME numeric class as XLA's TPU convolutions (which multiply
@@ -122,6 +139,7 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     """
     b, t, c = x.shape
     k = kernel_size
+    k2 = kernel_size2
     # fold factor: f*C = 128 (one full lane tile) measures fastest — Mosaic's
     # per-dot rate does not grow past K=N=128, so larger folds only add
     # halo-offset FLOPs (tools/folded_probe.py fold sweep)
@@ -131,12 +149,14 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     fc = f * c
     n_rows = t // f
 
-    per_unit = []  # (offsets, O)
+    offs2 = _fold_offsets(k2, 1, f) if k2 > 1 else [0]
+    span2 = -offs2[0]
+    per_unit = []  # (offsets1, span1)
     h_total = 0
     for d in dilations:
         offs = _fold_offsets(k, d, f)
         per_unit.append((offs, -offs[0]))
-        h_total += -offs[0]
+        h_total += -offs[0] + span2
 
     xf = x.reshape(b, n_rows, fc)
     rows_tile = _pick_tile(n_rows, tile_rows)
@@ -162,40 +182,86 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     dot_dtype = jnp.bfloat16 if bf16_dots else x.dtype
     for (w1, w2), d in zip(unit_params, dilations):
         wf = fold_conv_weight(w1, d, f).astype(dot_dtype)
-        w11 = fold_1x1_weight(w2, f).astype(dot_dtype)
+        if k2 > 1:
+            w2f = fold_conv_weight(w2, 1, f).astype(dot_dtype)
+        else:
+            w2f = fold_1x1_weight(w2, f).astype(dot_dtype)[None]
         flat_w.append(wf)
-        flat_w.append(w11)
+        flat_w.append(w2f)
         in_specs.append(pl.BlockSpec(
             wf.shape, (lambda nd: lambda bi, ti: (0,) * nd)(wf.ndim),
             memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(
-            w11.shape, (lambda nd: lambda bi, ti: (0,) * nd)(w11.ndim),
+            w2f.shape, (lambda nd: lambda bi, ti: (0,) * nd)(w2f.ndim),
             memory_space=pltpu.VMEM))
+
+    has_bias = biases is not None
+    if has_bias:
+        bstack = jnp.stack([jnp.tile(bb.astype(jnp.float32), f)
+                            for unit_b in biases for bb in unit_b])
+        flat_w.append(bstack)
+        in_specs.append(pl.BlockSpec(bstack.shape, lambda bi, ti: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    if act == "elu":
+        _act = _elu
+    elif act == "leaky_relu":
+        def _act(v, slope=act_param):
+            vf = v.astype(jnp.float32)
+            return jnp.where(vf > 0, vf, slope * vf)
+    else:
+        raise NotImplementedError(f"folded stack activation {act}")
 
     def kernel(halo_ref, x_ref, *refs):
         out_ref = refs[-1]
+        bias_ref = refs[-2] if has_bias else None
         v = jnp.concatenate([halo_ref[0, 0], x_ref[0]], axis=0)
         length = rows_tile + h_total
+        # absolute folded-row index of v[0] (rows < 0 are the zero pad
+        # before t=0; only tile 0 of the grid sees them)
+        start = pl.program_id(1) * rows_tile - h_total
+
+        def masked(y, row0, bvec):
+            # + bias at absolute rows >= 0, back to exact zero before t=0
+            # (matches the XLA chain's zero left-padding of intermediates)
+            if not has_bias:
+                return y
+            rows = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], 1), 0)
+            return jnp.where(rows + row0 >= 0, y + bvec, 0.0)
+
         ridx = 0
-        for offs, o_span in per_unit:
+        for u, (offs, span1) in enumerate(per_unit):
             wf_ref = refs[ridx]
-            w11_ref = refs[ridx + 1]
+            w2_ref = refs[ridx + 1]
             ridx += 2
-            y1 = _elu(v).astype(dot_dtype)
-            out_len = length - o_span
-            acc = jnp.zeros((out_len, fc), jnp.float32)
+            y1 = _act(v).astype(dot_dtype)
+            out_len = length - span1
+            acc = None
             for i, o in enumerate(offs):
-                s = o + o_span
-                acc += jax.lax.dot_general(
+                s = o + span1
+                d_ = jax.lax.dot_general(
                     y1[s:s + out_len, :], wf_ref[i],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            y2 = jax.lax.dot_general(
-                _elu(acc).astype(dot_dtype), w11_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            v = v[o_span:, :] + y2.astype(v.dtype)
-            length = out_len
+                acc = d_ if acc is None else acc + d_
+            if has_bias:
+                acc = masked(acc, start + span1, bias_ref[2 * u:2 * u + 1, :])
+            out_len2 = out_len - span2
+            ym = _act(acc).astype(dot_dtype)
+            y2 = None
+            for i, o in enumerate(offs2):
+                s = o + span2
+                d_ = jax.lax.dot_general(
+                    ym[s:s + out_len2, :], w2_ref[i],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y2 = d_ if y2 is None else y2 + d_
+            if has_bias:
+                y2 = masked(y2, start + span1 + span2,
+                            bias_ref[2 * u + 1:2 * u + 2, :])
+            v = v[span1 + span2:, :] + y2.astype(v.dtype)
+            start += span1 + span2
+            length = out_len2
         out_ref[0] = v
 
     out = pl.pallas_call(

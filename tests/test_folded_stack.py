@@ -143,3 +143,93 @@ def test_folded_encoder_bit_exact_indices_vs_golden():
     z = projector_apply(params["projector"], h, cfg)
     _, idx = rvq_forward_index(z, params["quantizer"], flatten=True)
     np.testing.assert_array_equal(np.asarray(idx[0]).T, data["idx_stream"])
+
+
+# ---------------------------------------------------------------------------
+# generalized unit: HiFiGAN resblock (k2=k, LeakyReLU, biases)
+# ---------------------------------------------------------------------------
+
+def _xla_resblock(p_block, x, dils, slope):
+    from audiodec_tpu.models.vocoder import _resblock_apply
+    act = lambda v: jnp.where(v > 0, v, slope * v)
+    return _resblock_apply(p_block, x, dilations=dils, groups=1,
+                           use_additional=True, act=act)
+
+
+def _rand_resblock(key, c, k, n, bias=True):
+    ks = jax.random.split(key, 4 * n)
+    p = {"convs1": [], "convs2": []}
+    for i in range(n):
+        c1 = {"w": 0.3 * jax.random.normal(ks[4 * i], (k, c, c))}
+        c2 = {"w": 0.3 * jax.random.normal(ks[4 * i + 1], (k, c, c))}
+        if bias:
+            c1["b"] = 0.5 * jax.random.normal(ks[4 * i + 2], (c,))
+            c2["b"] = 0.5 * jax.random.normal(ks[4 * i + 3], (c,))
+        p["convs1"].append(c1)
+        p["convs2"].append(c2)
+    return p
+
+
+@pytest.mark.parametrize("bias,tile", [(True, 128), (True, 64),
+                                       (False, 128)])
+def test_folded_resblock_matches_xla(bias, tile):
+    """Vocoder-unit variant: second conv k2=k, LeakyReLU, biases.  Small
+    tile_rows force multiple tiles so the halo path and the t<0 bias
+    masking (tile 0) are both exercised."""
+    c, t, k, dils, slope = 32, 1920, 11, (1, 3, 5), 0.1
+    p = _rand_resblock(jax.random.PRNGKey(5), c, k, len(dils), bias)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, t, c))
+    ref = _xla_resblock(p, x, dils, slope)
+    units = tuple((c1["w"], c2["w"])
+                  for c1, c2 in zip(p["convs1"], p["convs2"]))
+    biases = tuple((c1["b"], c2["b"])
+                   for c1, c2 in zip(p["convs1"], p["convs2"])) if bias \
+        else None
+    out = folded_residual_stack(x, units, dilations=dils, kernel_size=k,
+                                kernel_size2=k, act="leaky_relu",
+                                act_param=slope, biases=biases,
+                                tile_rows=tile, bf16_dots=False,
+                                interpret=True)
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=5e-5 * scale)
+
+
+def test_vocoder_apply_folded_matches_plain():
+    from audiodec_tpu.models.fast import vocoder_apply_folded
+    from audiodec_tpu.models.vocoder import (VocoderConfig, vocoder_apply,
+                                             vocoder_init)
+
+    cfg = VocoderConfig(in_channels=16, channels=64,
+                        upsample_scales=(5, 5, 4, 3),
+                        upsample_kernel_sizes=(10, 10, 8, 6),
+                        resblock_kernel_sizes=(11,),
+                        resblock_dilations=((1, 3, 5),), groups=3,
+                        nonlinear_activation_params=(
+                            ("negative_slope", 0.1),))
+    p = vocoder_init(jax.random.PRNGKey(2), cfg)
+    zq = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (2, 12, 16))
+    ref = vocoder_apply(p, zq, cfg)
+    out = vocoder_apply_folded(p, zq, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_vocoder_apply_folded_mrf_matches_plain():
+    from audiodec_tpu.models.fast import vocoder_apply_folded
+    from audiodec_tpu.models.vocoder import (VocoderConfig, vocoder_apply,
+                                             vocoder_init)
+
+    cfg = VocoderConfig(in_channels=16, channels=64,
+                        upsample_scales=(5, 5, 4, 3),
+                        upsample_kernel_sizes=(10, 10, 8, 6),
+                        resblock_kernel_sizes=(3, 7),
+                        resblock_dilations=((1, 3), (1, 3)), groups=1,
+                        nonlinear_activation_params=(
+                            ("negative_slope", 0.1),))
+    p = vocoder_init(jax.random.PRNGKey(4), cfg)
+    zq = 0.5 * jax.random.normal(jax.random.PRNGKey(5), (2, 12, 16))
+    ref = vocoder_apply(p, zq, cfg)
+    out = vocoder_apply_folded(p, zq, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

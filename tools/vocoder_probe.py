@@ -38,14 +38,20 @@ V0 = VocoderConfig(in_channels=64, channels=512,
                    resblock_dilations=((1, 3, 5),) * 3, groups=1)
 
 
-def bench(name, cfg, B, frames, dtype, iters):
+def bench(name, cfg, B, frames, dtype, iters, stack="xla"):
     params = vocoder_init(jax.random.PRNGKey(0), cfg)
     cast = lambda t: jax.tree_util.tree_map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, t)
     p = cast(params)
+    if stack == "folded":
+        from audiodec_tpu.models.fast import vocoder_apply_folded
 
-    def decode(zq):
-        return vocoder_apply(p, zq.astype(dtype), cfg)
+        def decode(zq):
+            return vocoder_apply_folded(p, zq.astype(dtype), cfg,
+                                        interpret=False)
+    else:
+        def decode(zq):
+            return vocoder_apply(p, zq.astype(dtype), cfg)
 
     @jax.jit
     def loop(z0):
@@ -70,8 +76,8 @@ def bench(name, cfg, B, frames, dtype, iters):
         best = min(best, (time.perf_counter() - t0) / iters)
     hop = cfg.hop_length
     rtf = B * frames * hop / 48000 / best
-    print(f"{name} B={B} {jnp.dtype(dtype).name}: {best*1000:.1f} ms/iter "
-          f"rtf={rtf:.0f}", flush=True)
+    print(f"{name} B={B} {jnp.dtype(dtype).name} {stack}: "
+          f"{best*1000:.1f} ms/iter rtf={rtf:.0f}", flush=True)
 
 
 if __name__ == "__main__":
@@ -81,7 +87,12 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=1600)  # 10 s @ hop 300
+    ap.add_argument("--stack", default="xla", choices=["xla", "folded"])
+    ap.add_argument("--only", default=None, choices=["v0", "v1", "v2"])
     args = ap.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     for name, cfg in (("v1", V1), ("v2", V2), ("v0", V0)):
-        bench(name, cfg, args.batch, args.frames, dt, args.iters)
+        if args.only and name != args.only:
+            continue
+        bench(name, cfg, args.batch, args.frames, dt, args.iters,
+              stack=args.stack)
