@@ -1,2 +1,2 @@
 from audiodec_tpu.streaming.engine import StreamingCodec
-from audiodec_tpu.streaming.streamer import SimulatedStreamer
+from audiodec_tpu.streaming.streamer import DeviceStreamer, SimulatedStreamer

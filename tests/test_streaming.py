@@ -1,6 +1,8 @@
 """Streaming engine: hop-by-hop == scan == batch-graph streaming parity,
 plus the simulated streamer pipeline."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -13,7 +15,11 @@ from audiodec_tpu.models.autoencoder import (
     generator_init,
 )
 from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_init
-from audiodec_tpu.streaming import SimulatedStreamer, StreamingCodec
+from audiodec_tpu.streaming import (
+    DeviceStreamer,
+    SimulatedStreamer,
+    StreamingCodec,
+)
 from audiodec_tpu.streaming.engine import (
     scan_streaming_decode,
     scan_streaming_encode,
@@ -103,6 +109,93 @@ def test_simulated_streamer(params):
     # frame_size must be a hop multiple (ref demoStream.py:53-54)
     with pytest.raises(AssertionError):
         SimulatedStreamer(codec, frame_size=hop + 1)
+
+
+class _FakeSoundDevice:
+    """Minimal sounddevice stand-in: a duplex Stream whose context drives
+    the callback with synthetic mic frames from a worker thread."""
+
+    def __init__(self, n_frames: int, in_channels: int = 1,
+                 out_channels: int = 1):
+        self.n_frames = n_frames
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.captured = []
+        fake = self
+
+        class Stream:
+            def __init__(self, device, samplerate, blocksize, dtype,
+                         latency, channels, callback):
+                assert channels == (fake.in_channels, fake.out_channels)
+                self.blocksize = blocksize
+                self.callback = callback
+
+            def __enter__(self):
+                import threading as _t
+
+                def drive():
+                    rng = np.random.default_rng(0)
+                    for _ in range(fake.n_frames):
+                        indata = 0.1 * rng.standard_normal(
+                            (self.blocksize, fake.in_channels)).astype(
+                                np.float32)
+                        outdata = np.zeros(
+                            (self.blocksize, fake.out_channels), np.float32)
+                        self.callback(indata, outdata, self.blocksize,
+                                      None, None)
+                        fake.captured.append(outdata.copy())
+                        time.sleep(0.002)
+
+                self._t = _t.Thread(target=drive, daemon=True)
+                self._t.start()
+                return self
+
+            def __exit__(self, *exc):
+                self._t.join()
+
+        self.Stream = Stream
+
+
+def test_device_streamer(params, tmp_path):
+    """Live-device pipeline (ref bin/stream.py AudioCodecStreamer) against a
+    fake audio driver: all frames flow, dumps are written, stats populate."""
+    codec = StreamingCodec(params, CFG)
+    hop = CFG.hop_length
+    n_frames = 6
+    fake = _FakeSoundDevice(n_frames)
+    streamer = DeviceStreamer(codec, frame_size=2 * hop,
+                              max_latency_ms=10000, sd_module=fake)
+    out = tmp_path / "out.wav"
+    inp = tmp_path / "in.wav"
+    streamer.enable_filedump(input_stream_file=str(inp),
+                             output_stream_file=str(out))
+    streamer.run(duration=1.0)
+    stats = streamer.stats()
+    assert stats["frames"] == n_frames
+    assert stats["drop_ratio"] == 0.0
+    # the pipeline decoded at least some frames within the run window
+    assert stats["decode_ms_mean"] > 0
+    from audiodec_tpu.data import read_wav
+    xi, sri = read_wav(str(inp))
+    xo, sro = read_wav(str(out))
+    assert xi.shape == (n_frames * 2 * hop, 1) and sri == 48000
+    assert xo.shape == (n_frames * 2 * hop, 1)
+    # frame_size must still be a hop multiple
+    with pytest.raises(AssertionError):
+        DeviceStreamer(codec, frame_size=hop + 1, sd_module=fake)
+
+
+def test_device_streamer_requires_sounddevice(params):
+    """Without sounddevice installed, run() raises a clear error."""
+    codec = StreamingCodec(params, CFG)
+    streamer = DeviceStreamer(codec, frame_size=CFG.hop_length)
+    try:
+        import sounddevice  # noqa: F401
+        pytest.skip("sounddevice available in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="sounddevice"):
+        streamer.run(duration=0.01)
 
 
 def test_streamer_latency_watchdog(params):
