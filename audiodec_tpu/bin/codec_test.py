@@ -1,11 +1,15 @@
 """Batch transcode / eval runner (capability twin of ref codecTest.py +
 bin/test.py, redesigned for TPU batch execution).
 
-Instead of a serial per-utterance loop, utterances are bucketed by length,
-padded to bucket boundaries, and transcoded in jitted batches on the device
-mesh (data-parallel over utterances, optional chunk-halo sequence parallelism
-for long files).  RTF is reported per batch and overall, and decoded wavs are
-written as <utt>_output.wav PCM16 like the reference (ref: bin/test.py:96-106).
+Instead of a serial per-utterance loop, utterances are bucketed by length
+(header-only scans), padded to bucket boundaries, and transcoded in jitted
+batches on the device mesh (data-parallel over utterances, optional
+chunk-halo sequence parallelism for long files).  The loop is software-
+pipelined: wav decode runs ahead in a prefetch thread, up to --inflight
+batches stay dispatched before the oldest result is fetched, and writes
+drain through a writer thread — host I/O overlaps device compute.  Overall
+RTF is end-to-end wall clock; decoded wavs are written as <utt>_output.wav
+PCM16 like the reference (ref: bin/test.py:96-106).
 
 Usage:
   python -m audiodec_tpu.bin.codec_test --encoder <ckpt> --decoder <ckpt> \
@@ -47,25 +51,64 @@ from audiodec_tpu.utils.config import (
 )
 
 
-def bucket_batches(dataset, batch_size: int, chunk: int):
-    """Group utterances into batches of equal padded length (multiples of
-    `chunk`), longest first to minimize padding waste."""
-    items = []
-    for i in range(len(dataset)):
-        uid, data = dataset[i]
-        items.append((uid, data))
-    items.sort(key=lambda kv: -len(kv[1]))
-    for i in range(0, len(items), batch_size):
-        group = items[i:i + batch_size]
-        max_len = max(len(d) for _, d in group)
-        padded = math.ceil(max_len / chunk) * chunk
-        batch = np.zeros((len(group), padded, group[0][1].shape[-1]),
-                         np.float32)
-        lens = []
-        for j, (_, d) in enumerate(group):
-            batch[j, :len(d)] = d
-            lens.append(len(d))
-        yield [u for u, _ in group], batch, lens
+def plan_buckets(dataset, batch_size: int, chunk: int):
+    """Batch plan [(indices, lens, padded_len)] from header-only length
+    scans: utterances sorted longest-first (minimal padding waste) and
+    grouped into equal-padded-length batches (multiples of `chunk`).  No
+    audio is decoded here, so planning a large corpus is cheap and the
+    whole corpus never has to fit in host memory at once."""
+    order = sorted(range(len(dataset)),
+                   key=lambda i: -dataset.num_frames(i))
+    plans = []
+    for i in range(0, len(order), batch_size):
+        idxs = order[i:i + batch_size]
+        lens = [dataset.num_frames(j) for j in idxs]
+        padded = math.ceil(max(lens) / chunk) * chunk
+        plans.append((idxs, lens, padded))
+    return plans
+
+
+def load_planned_batch(dataset, plan):
+    """Decode + zero-pad one planned batch -> (uids, batch, lens)."""
+    idxs, lens, padded = plan
+
+    def data(j):
+        item = dataset[j]
+        return item[1] if isinstance(item, tuple) else item
+
+    first = data(idxs[0])
+    batch = np.zeros((len(idxs), padded, first.shape[-1]), np.float32)
+    batch[0, :lens[0]] = first
+    uids = [dataset.utt_ids[j] for j in idxs]
+    for row, j in enumerate(idxs[1:], start=1):
+        batch[row, :lens[row]] = data(j)
+    return uids, batch, lens
+
+
+def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2):
+    """Yield (uids, batch, lens) with a decode thread running `prefetch`
+    batches ahead of the consumer, so host wav I/O overlaps device
+    compute."""
+    import queue as _queue
+    import threading as _threading
+
+    plans = plan_buckets(dataset, batch_size, chunk)
+    out: "_queue.Queue" = _queue.Queue(maxsize=max(1, prefetch))
+
+    def producer():
+        try:
+            for plan in plans:
+                out.put(load_planned_batch(dataset, plan))
+        finally:
+            out.put(None)
+
+    t = _threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = out.get()
+        if item is None:
+            return
+        yield item
 
 
 class BatchTranscoder:
@@ -221,6 +264,11 @@ def main(argv=None):
                         help="highest = true-f32 multiplies: bit-exact RVQ "
                              "indices vs the torch reference on TPU "
                              "hardware (slower; forces --stack xla)")
+    parser.add_argument("--inflight", type=int, default=2,
+                        help="transcode batches kept dispatched on the "
+                             "device before fetching the oldest (software "
+                             "pipelining of host I/O vs device compute); "
+                             "1 = fully synchronous")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace into this dir")
     parser.add_argument("--coordinator", default=None,
@@ -260,30 +308,57 @@ def main(argv=None):
     from audiodec_tpu.utils.profiling import device_trace
 
     chunk = cfg.hop_length * max(1, args.seq)
-    total_audio, total_time = 0.0, 0.0
+    total_audio = 0.0
     n_utts = 0
     trace = device_trace(args.profile)
     trace.__enter__()
     multihost = jax.process_count() > 1
-    for uids, batch, lens in bucket_batches(dataset, args.batch_size, chunk):
-        t0 = time.perf_counter()
-        idx, y = transcoder(batch)
+
+    # Software-pipelined loop: a prefetch thread decodes wavs ahead, up to
+    # `--inflight` transcode batches stay dispatched on the device before
+    # the oldest is fetched (JAX async dispatch keeps the chip busy while
+    # the host pads/writes), and wav writes drain through a writer thread.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    inflight: "deque" = deque()
+    writer = ThreadPoolExecutor(max_workers=2)
+    writes = []
+
+    def drain_one():
+        uids, lens, batch_t, t_disp, idx, y = inflight.popleft()
         if multihost:
             from audiodec_tpu.parallel import host_local_rows
             lo, y_np = host_local_rows(y)  # this host's rows only
         else:
             lo, y_np = 0, np.asarray(y)
-        dt = time.perf_counter() - t0
+        dt = time.perf_counter() - t_disp
         audio_secs = sum(lens) / sr
-        total_audio += audio_secs
-        total_time += dt
-        n_utts += len(uids)
-        logging.info("batch of %d (T=%d): %.3fs, RTF=%.1fx", len(uids),
-                     batch.shape[1], dt, audio_secs / dt)
+        logging.info("batch of %d (T=%d): ready %.3fs after dispatch, "
+                     "RTF>=%.1fx", len(uids), batch_t, dt, audio_secs / dt)
         for j in range(y_np.shape[0]):
             if lo + j < len(uids):  # skip data-axis padding rows
-                write_wav(os.path.join(outdir, f"{uids[lo + j]}_output.wav"),
-                          y_np[j, :lens[lo + j]], sr)
+                writes.append(writer.submit(
+                    write_wav,
+                    os.path.join(outdir, f"{uids[lo + j]}_output.wav"),
+                    y_np[j, :lens[lo + j]], sr))
+
+    t_start = time.perf_counter()
+    for uids, batch, lens in bucket_batches(dataset, args.batch_size, chunk,
+                                            prefetch=args.inflight):
+        idx, y = transcoder(batch)  # async dispatch
+        inflight.append((uids, lens, batch.shape[1], time.perf_counter(),
+                         idx, y))
+        total_audio += sum(lens) / sr
+        n_utts += len(uids)
+        while len(inflight) > max(0, args.inflight - 1):
+            drain_one()
+    while inflight:
+        drain_one()
+    total_time = time.perf_counter() - t_start  # end-to-end wall clock
+    for w in writes:
+        w.result()
+    writer.shutdown()
     trace.__exit__(None, None, None)
     if multihost:
         # slowest host bounds the pipeline; every host transcoded every

@@ -71,6 +71,16 @@ class SingleDataset:
     def __len__(self):
         return len(self.filenames)
 
+    def num_frames(self, idx: int) -> int:
+        """Utterance length in samples without decoding the audio (native
+        wav_info reads only the header; npy via the array header).  Lets
+        batch planners bucket a large corpus by length in O(header) I/O."""
+        if self.load_fn == "npy":
+            return int(np.load(self.filenames[idx], mmap_mode="r").shape[0])
+        from audiodec_tpu.data.wav import wav_info
+        _, _, frames = wav_info(self.filenames[idx])
+        return frames
+
     def _load(self, idx: int) -> np.ndarray:
         if self.load_fn == "npy":
             return np.load(self.filenames[idx]).astype(np.float32)

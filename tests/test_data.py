@@ -126,3 +126,36 @@ def test_loader_order_and_shapes(wav_dir):
     assert all(b.shape == (2, 1500, 1) for b in batches)
     it = dl.infinite()
     assert next(it).shape == (2, 1500, 1)
+
+
+def test_num_frames_and_bucket_planning(wav_dir):
+    """Header-only length scan matches decoded lengths; planner buckets
+    longest-first with chunk-multiple padding; pipelined loader yields the
+    same batches as a synchronous build."""
+    from audiodec_tpu.bin.codec_test import (
+        bucket_batches,
+        load_planned_batch,
+        plan_buckets,
+    )
+
+    ds = SingleDataset(wav_dir, return_utt_id=True)
+    for i in range(len(ds)):
+        assert ds.num_frames(i) == len(ds[i][1])
+
+    chunk = 300
+    plans = plan_buckets(ds, batch_size=4, chunk=chunk)
+    assert sum(len(p[0]) for p in plans) == len(ds)
+    flat_lens = [l for p in plans for l in p[1]]
+    assert flat_lens == sorted(flat_lens, reverse=True)  # longest first
+    for idxs, lens, padded in plans:
+        assert padded % chunk == 0 and padded >= max(lens)
+
+    got = list(bucket_batches(ds, batch_size=4, chunk=chunk, prefetch=2))
+    assert len(got) == len(plans)
+    for (uids, batch, lens), plan in zip(got, plans):
+        ref_uids, ref_batch, ref_lens = load_planned_batch(ds, plan)
+        assert uids == ref_uids and lens == ref_lens
+        np.testing.assert_array_equal(batch, ref_batch)
+        # padding rows beyond each utterance are zero
+        for r, L in enumerate(lens):
+            assert not batch[r, L:].any()
