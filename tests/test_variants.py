@@ -91,3 +91,47 @@ def test_welford_stats_match_naive():
     # finalize() casts to float32
     np.testing.assert_allclose(mean, allf.mean(0), rtol=1e-5)
     np.testing.assert_allclose(scale, allf.std(0), rtol=1e-5)
+
+
+def test_channel_fold_matches_torch_reshape():
+    """MIMO channel fold: multi-channel (B, T, C) input folds into the batch
+    axis exactly like the reference's channels-first reshape
+    (ref AudioDec.py:113-115 `x.reshape(-1, input_channels, length)` and
+    HiFiGAN.py:390-392)."""
+    import torch
+
+    from audiodec_tpu.models.autoencoder import _channel_fold
+    from audiodec_tpu.models.discriminators import _mono_fold
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 40, 4)).astype(np.float32)  # (B, T, C)
+
+    # torch oracle: (B, C, T) -> reshape(-1, ic, T)
+    xt = torch.from_numpy(x).transpose(1, 2)  # (B, C, T)
+    for ic in (1, 2):
+        ref = xt.reshape(-1, ic, xt.shape[-1]).transpose(1, 2).numpy()
+        got = np.asarray(_channel_fold(jnp.asarray(x), ic))
+        np.testing.assert_array_equal(got, ref)
+    ref1 = xt.reshape(-1, 1, xt.shape[-1]).transpose(1, 2).numpy()
+    np.testing.assert_array_equal(np.asarray(_mono_fold(jnp.asarray(x))),
+                                  ref1)
+
+
+def test_generator_forward_mimo_fold():
+    """Stereo input through a mono codec == the two channels stacked in the
+    batch axis (ref AudioDec.py:112-120 forward on folded input)."""
+    from audiodec_tpu.models.autoencoder import generator_forward
+
+    cfg = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                          codebook_num=2, codebook_size=16)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    hop = cfg.hop_length
+    x = 0.2 * np.random.default_rng(1).standard_normal(
+        (2, 2 * hop, 2)).astype(np.float32)  # (B=2, T, C=2), model ic=1
+    y, zq, z, vqloss, ppl, _ = generator_forward(params, jnp.asarray(x), cfg)
+    assert y.shape == (4, 2 * hop, 1)  # folded batch, like the reference
+    # equals the explicitly stacked per-channel forward
+    xs = np.stack([x[0, :, 0], x[0, :, 1], x[1, :, 0], x[1, :, 1]])[..., None]
+    y2, *_ = generator_forward(params, jnp.asarray(xs), cfg)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6,
+                               atol=1e-6)
