@@ -104,14 +104,29 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1337)
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel replicas (devices)")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host training: coordinator host:port "
+                             "(every host runs this CLI with the same "
+                             "config/tag/seed; batch_size is the GLOBAL "
+                             "batch, sharded over all hosts' devices)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+
+    if args.coordinator is not None:
+        from audiodec_tpu.parallel import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+    multihost = jax.process_count() > 1
+    primary = jax.process_index() == 0
 
     config = load_config(args.config)
     os.makedirs(args.tag, exist_ok=True)
     # snapshot config next to checkpoints (ref: bin/train.py:58-64)
-    with open(os.path.join(args.tag, "config.yml"), "w") as f:
-        yaml.safe_dump(config, f)
+    if primary:
+        with open(os.path.join(args.tag, "config.yml"), "w") as f:
+            yaml.safe_dump(config, f)
 
     train_mode = config.get("train_mode", "autoencoder")
     model_type = config.get("model_type", "symAudioDec")
@@ -120,7 +135,7 @@ def main(argv=None):
     crit = build_criterion(config)
     gen_opt = make_optimizer(config, "generator")
     disc_opt = make_optimizer(config, "discriminator")
-    axis_name = "data" if args.dp > 1 else None
+    axis_name = "data" if (args.dp > 1 or multihost) else None
 
     univ = model_type in ("symAudioDecUniv", "UnivNet")
     use_wn = config.get("generator_params", {}).get("use_weight_norm", False)
@@ -179,10 +194,19 @@ def main(argv=None):
                                        axis_name=axis_name,
                                        jit=(axis_name is None))
 
+    mesh = None
     if axis_name is not None:
         from audiodec_tpu.train.steps import shard_steps
-        from audiodec_tpu.parallel import make_mesh
-        mesh = make_mesh(data=args.dp, seq=1)
+        if multihost:
+            # global mesh over every process's devices; grads + EMA stats
+            # psum across hosts, so N-host training == 1-host training at
+            # the same global batch
+            from audiodec_tpu.parallel import global_mesh
+            mesh = global_mesh(data=-1 if args.dp <= 1 else args.dp, seq=1)
+            assert mesh.shape["data"] % jax.process_count() == 0
+        else:
+            from audiodec_tpu.parallel import make_mesh
+            mesh = make_mesh(data=args.dp, seq=1)
         steps = shard_steps(steps, mesh, axis_name)
 
     # warm start (ref `initial:` key, codecTrain.py:245-247)
@@ -198,12 +222,45 @@ def main(argv=None):
     adv_dl = train_dl if adv_bl == bl else \
         build_dataloaders(config, train_mode, adv_bl)[0]
 
+    if multihost:
+        # every host builds the identical global batch (same file lists +
+        # seeds), carves its contiguous rows, and assembles a global sharded
+        # array (same discipline as the codec_test CLI)
+        from jax.sharding import PartitionSpec as P
+        from audiodec_tpu.parallel import host_local_to_global
+
+        nproc, pid = jax.process_count(), jax.process_index()
+
+        def to_global(a):
+            assert a.shape[0] % nproc == 0, \
+                f"global batch {a.shape[0]} must divide over {nproc} hosts"
+            rows = a.shape[0] // nproc
+            spec = P("data", *([None] * (a.ndim - 1)))
+            return host_local_to_global(mesh, spec,
+                                        a[pid * rows:(pid + 1) * rows])
+
+        def global_iter(it):
+            for batch in it:
+                if isinstance(batch, tuple):
+                    yield tuple(to_global(b) for b in batch)
+                else:
+                    yield to_global(batch)
+
+        train_it = global_iter(train_dl.infinite())
+        adv_it = global_iter(adv_dl.infinite())
+        eval_it_fn = lambda: global_iter(iter(valid_dl))  # noqa: E731
+    else:
+        train_it = train_dl.infinite()
+        adv_it = adv_dl.infinite()
+        eval_it_fn = lambda: iter(valid_dl)  # noqa: E731
+
     trainer = GanTrainer(
         steps_fns=steps, state=state, config=config, outdir=args.tag,
-        train_iter=train_dl.infinite(),
-        adv_train_iter=adv_dl.infinite(),
-        eval_iter_fn=lambda: iter(valid_dl),
+        train_iter=train_it,
+        adv_train_iter=adv_it,
+        eval_iter_fn=eval_it_fn,
         strict_start=(train_mode == "autoencoder"),
+        primary=primary,
     )
     if args.resume:
         trainer.resume(args.resume)

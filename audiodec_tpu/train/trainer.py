@@ -55,6 +55,16 @@ class MetricsWriter:
             self._tb.close()
 
 
+class NullWriter:
+    """Metrics sink for non-primary hosts in multi-process training."""
+
+    def write(self, step, scalars, prefix=""):
+        pass
+
+    def close(self):
+        pass
+
+
 class GanTrainer:
     """Drives jitted {metric, adv, eval} steps through the two-stage
     schedule."""
@@ -64,10 +74,15 @@ class GanTrainer:
                  train_iter: Iterator, eval_iter_fn: Callable[[], Iterator],
                  adv_train_iter: Optional[Iterator] = None,
                  start_step: int = 0,
-                 strict_start: bool = True):
+                 strict_start: bool = True,
+                 primary: bool = True):
         """strict_start: generator/discriminator start at step >= start
         (autoencoder semantics); False uses > (vocoder semantics,
-        ref trainer/vocoder.py:65,79 vs autoencoder.py:56-65)."""
+        ref trainer/vocoder.py:65,79 vs autoencoder.py:56-65).
+
+        primary: in multi-process training only the primary host writes
+        checkpoints and metrics (state is replicated, so one copy is the
+        truth); every process still executes every step."""
         self.steps_fns = steps_fns
         self.state = state
         self.config = config
@@ -77,7 +92,8 @@ class GanTrainer:
         self.eval_iter_fn = eval_iter_fn
         self.steps = start_step
         self.strict_start = strict_start
-        self.writer = MetricsWriter(outdir)
+        self.primary = primary
+        self.writer = MetricsWriter(outdir) if primary else NullWriter()
         # autoencoder configs use start_steps:{generator,discriminator};
         # vocoder configs use *_train_start_steps (ref: autoencoder.py:45-46,
         # vocoder.py:44-45)
@@ -105,6 +121,8 @@ class GanTrainer:
         return os.path.join(self.outdir, f"checkpoint-{steps}steps.ckpt")
 
     def save(self, path=None):
+        if not self.primary:
+            return
         save_checkpoint(path or self._ckpt_path(self.steps), self.state,
                         self.steps)
         logging.info("Saved checkpoint @ %d steps", self.steps)

@@ -100,3 +100,67 @@ def test_codec_test_cli_multihost(tmp_path):
         # identical math; PCM16 quantization may flip the last bit on
         # f32-rounding ties
         np.testing.assert_allclose(y1, y2, atol=1.01 / 32767.0)
+
+
+def test_codec_train_cli_multihost(tmp_path):
+    """codec_train CLI on 2 hosts x 1 device: psum'd grads + EMA stats make
+    2-host training equal single-host --dp 2 training at the same global
+    batch; only the primary host writes checkpoints/metrics."""
+    from test_cli_e2e import TINY_CONFIG
+    from audiodec_tpu.data import write_wav
+    from audiodec_tpu.train.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(5)
+    for sub in ("train", "valid"):
+        d = tmp_path / "corpus" / sub
+        d.mkdir(parents=True)
+        for i in range(3):
+            x = (0.3 * rng.standard_normal((2400, 1))).clip(-1, 1).astype(
+                np.float32)
+            write_wav(str(d / f"{sub}{i}.wav"), x, 48000)
+
+    cfg = dict(TINY_CONFIG)
+    cfg["data"] = {"path": str(tmp_path / "corpus"),
+                   "subset": {"train": "train", "valid": "valid",
+                              "test": "valid"}}
+    cfg["train_max_steps"] = 2
+    cfg["adv_train_max_steps"] = 3
+    cfg["start_steps"] = {"generator": 0, "discriminator": 2}
+    cfg["eval_interval_steps"] = 100
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    # single-process reference: --dp 2 on 2 virtual devices
+    tag_1p = str(tmp_path / "exp_1p")
+    r = subprocess.run(
+        [sys.executable, "-m", "audiodec_tpu.bin.codec_train",
+         "--config", cfg_path, "--tag", tag_1p, "--dp", "2"],
+        env=_clean_env(JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=2"),
+        cwd=REPO, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    # two processes, one device each, same global batch
+    tag_2p = str(tmp_path / "exp_2p")
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "audiodec_tpu.bin.codec_train",
+         "--config", cfg_path, "--tag", tag_2p,
+         "--coordinator", "localhost:23987",
+         "--num-processes", "2", "--process-id", str(i)],
+        env=_clean_env(JAX_PLATFORMS="cpu"), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    s1, h1 = load_checkpoint(os.path.join(tag_1p, "checkpoint-final.ckpt"))
+    s2, h2 = load_checkpoint(os.path.join(tag_2p, "checkpoint-final.ckpt"))
+    assert h1["steps"] == h2["steps"] == 3
+    import jax
+    leaves1 = jax.tree_util.tree_leaves(s1["gen"])
+    leaves2 = jax.tree_util.tree_leaves(s2["gen"])
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=2e-4, atol=2e-5)
