@@ -65,13 +65,40 @@ class RunningMoments:
         return self.mean.astype(np.float32), scale.astype(np.float32)
 
 
-def extract_stats(params, cfg, dataset, window_hops: int = 160) -> np.ndarray:
-    """Accumulate zq moments over fixed-size windows.
+def _windows(dataset, window: int, hop: int):
+    """Yield (padded (window, C) slice, n_valid_frames) over every utterance.
 
-    Fixed window shapes keep this to one XLA compilation regardless of
-    utterance lengths (variable-shape jit would recompile per utterance);
-    short utterances are zero-padded to one window with the padded frames
-    trimmed from the update."""
+    Fixed window shapes keep the device path to one XLA compilation
+    regardless of utterance lengths; short tails are zero-padded with the
+    padded frames trimmed from the moment update."""
+    for i in range(len(dataset)):
+        x = dataset[i]
+        for s in range(0, len(x) - window + 1, window):
+            yield x[s:s + window], window // hop
+        rem = len(x) % window if len(x) >= window else len(x)
+        if rem >= hop:
+            pad = np.zeros((window, x.shape[-1]), np.float32)
+            pad[:rem] = x[len(x) - rem:]
+            yield pad, rem // hop
+
+
+def extract_stats(params, cfg, dataset, window_hops: int = 160,
+                  batch_size: int = 8, dp: int = 1) -> np.ndarray:
+    """Accumulate zq moments over fixed-size windows, batched (and
+    optionally data-parallel over `dp` devices) so the analyzer runs at
+    full device utilization instead of the reference's one-utterance-at-a-
+    time loop (ref codecStatistic.py:101-113).  Any window grouping gives
+    the same moments (Welford merge is exact), so batch/dp size don't
+    change the result."""
+    sharding = None
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from audiodec_tpu.parallel import make_mesh
+        mesh = make_mesh(data=dp, seq=1)
+        sharding = NamedSharding(mesh, P("data", None, None))
+        assert batch_size % dp == 0, \
+            f"--batch-size {batch_size} must divide over --dp {dp}"
+
     @jax.jit
     def codes(x):
         h = encoder_apply(params["encoder"], x, cfg)
@@ -81,19 +108,28 @@ def extract_stats(params, cfg, dataset, window_hops: int = 160) -> np.ndarray:
 
     window = cfg.hop_length * window_hops
     mom = RunningMoments(cfg.code_dim)
-    for i in range(len(dataset)):
-        x = dataset[i]
-        for s in range(0, len(x) - window + 1, window):
-            zq = codes(jnp.asarray(x[None, s:s + window]))
-            mom.update(np.asarray(zq[0], np.float64))
-        rem = len(x) % window if len(x) >= window else len(x)
-        if rem >= cfg.hop_length:
-            n_frames = rem // cfg.hop_length
-            start = len(x) - rem
-            pad = np.zeros((window, x.shape[-1]), np.float32)
-            pad[:rem] = x[start:]
-            zq = codes(jnp.asarray(pad[None]))
-            mom.update(np.asarray(zq[0, :n_frames], np.float64))
+
+    def flush(buf, counts):
+        xb = np.stack(buf)
+        if len(buf) < batch_size:  # pad last batch to the compiled shape
+            xb = np.concatenate([xb, np.zeros(
+                (batch_size - len(buf),) + xb.shape[1:], np.float32)])
+        xb = jnp.asarray(xb)
+        if sharding is not None:
+            xb = jax.device_put(xb, sharding)
+        zq = np.asarray(codes(xb), np.float64)
+        mom.update(np.concatenate(
+            [zq[j, :n] for j, n in enumerate(counts)], axis=0))
+
+    buf, counts = [], []
+    for w, n_frames in _windows(dataset, window, cfg.hop_length):
+        buf.append(w)
+        counts.append(n_frames)
+        if len(buf) == batch_size:
+            flush(buf, counts)
+            buf, counts = [], []
+    if buf:
+        flush(buf, counts)
     mean, scale = mom.finalize()
     return np.stack([mean, scale])
 
@@ -105,6 +141,10 @@ def main(argv=None):
     parser.add_argument("--data-path", default=None)
     parser.add_argument("--subset", default="train")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="windows per device batch")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel devices (windows sharded)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -119,7 +159,8 @@ def main(argv=None):
     data_path = args.data_path or os.path.join(
         config["data"]["path"], config["data"]["subset"][args.subset])
     dataset = SingleDataset(data_path)
-    stats = extract_stats(params, cfg, dataset)
+    stats = extract_stats(params, cfg, dataset,
+                          batch_size=args.batch_size, dp=args.dp)
     out = args.out or config.get("stats", "stats.npy")
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     np.save(out, stats)

@@ -135,3 +135,27 @@ def test_generator_forward_mimo_fold():
     y2, *_ = generator_forward(params, jnp.asarray(xs), cfg)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_extract_stats_batched_dp_equivalence(tmp_path):
+    """Batched / data-parallel stats extraction == the serial per-window
+    loop (Welford merge is exact under any grouping)."""
+    from audiodec_tpu.bin.codec_stats import extract_stats
+    from audiodec_tpu.data import write_wav, SingleDataset
+
+    cfg = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                          codebook_num=2, codebook_size=16)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    hop = cfg.hop_length
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        t = (3 + 2 * i) * hop + (37 * i) % hop  # ragged lengths
+        x = (0.3 * rng.standard_normal((t, 1))).clip(-1, 1).astype(np.float32)
+        write_wav(str(tmp_path / f"u{i}.wav"), x, 48000)
+    ds = SingleDataset(str(tmp_path))
+
+    ref = extract_stats(params, cfg, ds, window_hops=2, batch_size=1)
+    b4 = extract_stats(params, cfg, ds, window_hops=2, batch_size=4)
+    dp = extract_stats(params, cfg, ds, window_hops=2, batch_size=4, dp=2)
+    np.testing.assert_allclose(b4, ref, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(dp, ref, rtol=1e-6, atol=1e-7)
