@@ -1,6 +1,7 @@
 """Streaming engine: hop-by-hop == scan == batch-graph streaming parity,
 plus the simulated streamer pipeline."""
 
+import threading
 import time
 
 import numpy as np
@@ -211,3 +212,55 @@ def test_streamer_latency_watchdog(params):
     stats = streamer.stats()
     assert stats["drop_ratio"] == 1.0
     np.testing.assert_array_equal(y, np.zeros_like(y))
+
+
+def test_network_codec_transport(params):
+    """tx/rx over a real socket: the decoded stream equals a local
+    streaming transcode of the same frames, and the wire runs at the
+    codec's nominal bitrate (+packet overhead)."""
+    import socket
+
+    from audiodec_tpu.streaming.net import CodecReceiver, CodecTransmitter
+
+    hop = CFG.hop_length
+    frame = 2 * hop
+    n = 6
+    x = 0.2 * np.random.default_rng(9).standard_normal(
+        (n * frame, 1)).astype(np.float32)
+
+    tx_codec = StreamingCodec(params, CFG)
+    rx_codec = StreamingCodec(params, CFG)
+    a, b = socket.socketpair()
+    results = {}
+
+    def rx():
+        results["y"], results["stats"] = CodecReceiver(rx_codec).run(b)
+
+    t = threading.Thread(target=rx)
+    t.start()
+    tx_stats = CodecTransmitter(tx_codec, frame_size=frame,
+                                sample_rate=48000).run(x, a)
+    t.join(timeout=60)
+    a.close()
+    b.close()
+    assert tx_stats["frames"] == n == results["stats"]["frames"]
+
+    # local oracle: same frames through one stateful codec
+    ref_codec = StreamingCodec(params, CFG)
+    outs = []
+    for i in range(n):
+        idx = ref_codec.encode(jnp.asarray(x[None, i * frame:(i + 1) * frame]))
+        outs.append(np.asarray(ref_codec.decode(idx))[0])
+    np.testing.assert_allclose(results["y"], np.concatenate(outs, axis=0),
+                               rtol=1e-5, atol=1e-6)
+
+    # wire accounting is exact: per packet 4B length + 24B header +
+    # ceil(frames*Q*bits/8) payload (headers dominate only at this tiny
+    # test config; the canonical 8x1024 codec runs ~13 kbps on this wire)
+    import math
+    bits = math.ceil(math.log2(CFG.codebook_size))
+    per_packet = 4 + 24 + math.ceil((frame // hop) * CFG.codebook_num
+                                    * bits / 8)
+    audio_secs = n * frame / 48000
+    expect_kbps = n * per_packet * 8 / 1000.0 / audio_secs
+    assert tx_stats["wire_kbps"] == pytest.approx(expect_kbps, rel=1e-6)
