@@ -77,8 +77,13 @@ class CodecTransmitter:
         hop = cfg.hop_length
         self.codec.warmup(self.frame_size)
         self.codec.reset()
-        T = (len(x) // self.frame_size) * self.frame_size
-        frames = x[:T].reshape(-1, self.frame_size, x.shape[-1])
+        # zero-pad a trailing partial frame (rx output is rounded up to a
+        # whole number of frames; ref demoFile.py:58-61 trims at the sink)
+        rem = len(x) % self.frame_size
+        if rem:
+            pad = np.zeros((self.frame_size - rem, x.shape[-1]), x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        frames = x.reshape(-1, self.frame_size, x.shape[-1])
         offsets = np.arange(cfg.codebook_num) * size
         frame_dt = self.frame_size / self.sample_rate
         for f in frames:

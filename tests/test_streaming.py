@@ -225,8 +225,9 @@ def test_network_codec_transport(params):
     hop = CFG.hop_length
     frame = 2 * hop
     n = 6
+    # deliberately NOT a frame multiple: tx zero-pads the tail frame
     x = 0.2 * np.random.default_rng(9).standard_normal(
-        (n * frame, 1)).astype(np.float32)
+        (n * frame - 13, 1)).astype(np.float32)
 
     tx_codec = StreamingCodec(params, CFG)
     rx_codec = StreamingCodec(params, CFG)
@@ -245,11 +246,12 @@ def test_network_codec_transport(params):
     b.close()
     assert tx_stats["frames"] == n == results["stats"]["frames"]
 
-    # local oracle: same frames through one stateful codec
+    # local oracle: same (tail-padded) frames through one stateful codec
+    xp = np.concatenate([x, np.zeros((n * frame - len(x), 1), x.dtype)])
     ref_codec = StreamingCodec(params, CFG)
     outs = []
     for i in range(n):
-        idx = ref_codec.encode(jnp.asarray(x[None, i * frame:(i + 1) * frame]))
+        idx = ref_codec.encode(jnp.asarray(xp[None, i * frame:(i + 1) * frame]))
         outs.append(np.asarray(ref_codec.decode(idx))[0])
     np.testing.assert_allclose(results["y"], np.concatenate(outs, axis=0),
                                rtol=1e-5, atol=1e-6)
