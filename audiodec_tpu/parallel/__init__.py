@@ -4,6 +4,11 @@ from audiodec_tpu.parallel.codec import (
     decoder_halo_frames,
     make_sharded_codec,
 )
+from audiodec_tpu.parallel.tp import (
+    generator_tp_specs,
+    make_tp_codec,
+    make_tp_mesh,
+)
 from audiodec_tpu.parallel.distributed import (
     global_mesh,
     global_to_host_local,
