@@ -27,6 +27,10 @@ from audiodec_tpu.utils.bitstream import pack_codes, unpack_codes
 
 _LEN = struct.Struct("<I")
 
+# generous ceiling (~21 min of canonical 12.8 kbps audio in ONE packet);
+# anything larger is a corrupt/hostile length prefix, not a codec packet
+MAX_PACKET = 2 * 1024 * 1024
+
 
 def send_packet(sock, payload: bytes) -> None:
     sock.sendall(_LEN.pack(len(payload)) + payload)
@@ -51,6 +55,9 @@ def recv_packet(sock) -> Optional[bytes]:
     (n,) = _LEN.unpack(head)
     if n == 0:
         return None
+    if n > MAX_PACKET:
+        raise ValueError(f"packet length {n} exceeds MAX_PACKET "
+                         f"{MAX_PACKET}: corrupt stream")
     return _recv_exact(sock, n)
 
 

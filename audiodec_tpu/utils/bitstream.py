@@ -50,9 +50,23 @@ def pack_codes(idx: np.ndarray, codebook_size: int, sample_rate: int,
 
 
 def unpack_codes(data: bytes) -> Tuple[np.ndarray, dict]:
-    """bytes -> ((T, Q) int32 indices, info dict)."""
+    """bytes -> ((T, Q) int32 indices, info dict).
+
+    Raises ValueError on malformed input (bad magic/version, impossible
+    field values, or a payload that doesn't match the header) — the header
+    is validated BEFORE any size-dependent allocation, so a corrupt or
+    hostile packet can't trigger an unbounded allocation on a receiver."""
+    if len(data) < _HDR.size:
+        raise ValueError("truncated bitstream header")
     magic, version, q, bits, sr, hop, t = _HDR.unpack_from(data, 0)
-    assert magic == MAGIC and version == 1, "bad bitstream header"
+    if magic != MAGIC or version != 1:
+        raise ValueError("bad bitstream header")
+    if not (1 <= q <= 255 and 1 <= bits <= 31):
+        raise ValueError(f"impossible bitstream fields: q={q} bits={bits}")
+    expected = _HDR.size + (t * q * bits + 7) // 8
+    if len(data) != expected:
+        raise ValueError(f"bitstream length {len(data)} != expected "
+                         f"{expected} for {t} frames")
     buf = np.frombuffer(data, np.uint8, offset=_HDR.size)
     n = t * q
     out = np.zeros(n, np.uint64)

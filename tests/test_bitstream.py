@@ -60,3 +60,50 @@ def test_streaming_codec_integration():
     zq_a = rvq_lookup(idx, params["quantizer"])
     zq_b = rvq_lookup(jnp.asarray(restored[None]), params["quantizer"])
     np.testing.assert_array_equal(np.asarray(zq_a), np.asarray(zq_b))
+
+
+def test_malformed_bitstream_rejected():
+    """Corrupt/hostile packets raise ValueError (never a huge allocation or
+    an IndexError): validated magic, version, field ranges, and exact
+    payload length before any size-dependent work."""
+    import pytest
+    import struct
+
+    good = pack_codes(np.zeros((4, 2), np.int32), 16, 48000, 300)
+
+    with pytest.raises(ValueError):  # truncated header
+        unpack_codes(good[:10])
+    with pytest.raises(ValueError):  # bad magic
+        unpack_codes(b"XXXX" + good[4:])
+    with pytest.raises(ValueError):  # bad version
+        unpack_codes(good[:4] + b"\x07" + good[5:])
+    with pytest.raises(ValueError):  # truncated payload
+        unpack_codes(good[:-1])
+    with pytest.raises(ValueError):  # trailing garbage
+        unpack_codes(good + b"\x00")
+    # hostile n_frames: header claims 2^40 frames with a tiny payload —
+    # must reject by length mismatch without allocating anything
+    hdr = struct.Struct("<4sBBHIIQ").pack(b"ADTC", 1, 2, 4, 48000, 300,
+                                          1 << 40)
+    with pytest.raises(ValueError):
+        unpack_codes(hdr + b"\x00" * 8)
+    with pytest.raises(ValueError):  # impossible bits-per-code
+        unpack_codes(struct.Struct("<4sBBHIIQ").pack(b"ADTC", 1, 2, 99,
+                                                     48000, 300, 0))
+
+
+def test_oversized_packet_length_rejected():
+    """A corrupt length prefix on the wire raises instead of buffering
+    gigabytes."""
+    import pytest
+    import socket
+    import struct
+
+    from audiodec_tpu.streaming.net import MAX_PACKET, recv_packet
+
+    a, b = socket.socketpair()
+    a.sendall(struct.pack("<I", MAX_PACKET + 1) + b"junk")
+    with pytest.raises(ValueError):
+        recv_packet(b)
+    a.close()
+    b.close()
