@@ -57,10 +57,13 @@ def main(argv=None):
                         help="registry name (e.g. vctk_v1)")
     parser.add_argument("--encoder", default=None)
     parser.add_argument("--decoder", default=None)
-    parser.add_argument("-i", "--input", required=True)
+    parser.add_argument("-i", "--input", default=None)
     parser.add_argument("-o", "--output", required=True)
     parser.add_argument("--codes-out", default=None,
                         help="also write the packed RVQ bitstream (.adtc)")
+    parser.add_argument("--codes-in", default=None,
+                        help="decode a packed RVQ bitstream (.adtc) to wav "
+                             "instead of transcoding a wav")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -72,12 +75,34 @@ def main(argv=None):
         enc, dec, sr_expected = args.encoder, args.decoder, None
 
     codec, config = build_streaming_codec(enc, dec)
+    hop = codec.cfg.hop_length
+
+    if args.codes_in:
+        from audiodec_tpu.utils.bitstream import unpack_codes
+        with open(args.codes_in, "rb") as f:
+            raw, info = unpack_codes(f.read())
+        assert info["num_q"] == codec.cfg.codebook_num, \
+            f"bitstream has {info['num_q']} codebooks, codec " \
+            f"{codec.cfg.codebook_num}"
+        assert info["hop"] == hop, \
+            f"bitstream hop {info['hop']} != codec hop {hop}"
+        sr = info["sample_rate"]
+        T = info["n_frames"] * hop
+        idx = jnp.asarray(raw + np.arange(raw.shape[-1])
+                          * codec.cfg.codebook_size)[None]
+        logging.info("Decode %d frames from %s...", info["n_frames"],
+                     args.codes_in)
+        y = codec.decode(idx)
+        write_wav(args.output, np.asarray(y)[0, :T], sr)
+        logging.info("Output %s", args.output)
+        return
+
+    assert args.input, "need -i/--input (or --codes-in)"
     x, sr = read_wav(args.input)
     if sr_expected is not None:
         assert sr == sr_expected, \
             f"sample rate {sr} != expected {sr_expected} (demoFile.py:54)"
 
-    hop = codec.cfg.hop_length
     T = len(x)
     pad = (-T) % hop
     if pad:

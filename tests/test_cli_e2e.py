@@ -141,6 +141,13 @@ def test_train_stats_test_demo_pipeline(workdir):
     x, _ = read_wav(in_wav)
     assert sr == 48000 and len(y) == len(x)
 
+    # decode-from-bitstream leg: --codes-in reproduces the transcode output
+    dec_wav = str(root / "demo_dec.wav")
+    demo_file.main(["--encoder", final, "--decoder", final,
+                    "--codes-in", codes_out, "-o", dec_wav])
+    yd, _ = read_wav(dec_wav)
+    np.testing.assert_array_equal(yd[:len(y)], y)
+
 
 def test_data_parallel_training(workdir):
     """--dp 2: shard_map-wrapped GAN steps over a 2-device data mesh."""
