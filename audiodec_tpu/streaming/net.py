@@ -135,7 +135,13 @@ class CodecReceiver:
             payload = recv_packet(sock)
             if payload is None:
                 break
-            idx, _info = unpack_codes(payload)
+            idx, info = unpack_codes(payload)
+            if (info["num_q"] != cfg.codebook_num
+                    or info["hop"] != cfg.hop_length):
+                raise ValueError(
+                    f"bitstream ({info['num_q']} books, hop {info['hop']}) "
+                    f"doesn't match codec ({cfg.codebook_num} books, hop "
+                    f"{cfg.hop_length})")
             t0 = time.perf_counter()
             flat = jnp.asarray(idx + offsets)[None]
             y = np.asarray(self.codec.decode(flat))

@@ -17,6 +17,10 @@ def main():
     parser.add_argument("--ref", required=True)
     parser.add_argument("--est", required=True)
     parser.add_argument("--suffix", default=".wav")
+    parser.add_argument("--est-suffix", default=None,
+                        help="suffix replacing --suffix on the est side "
+                             "(e.g. _output.wav to compare a corpus "
+                             "against codec_test output)")
     args = parser.parse_args()
 
     from audiodec_tpu.data import read_wav
@@ -24,17 +28,20 @@ def main():
 
     import numpy as np
 
+    est_suffix = args.est_suffix or args.suffix
     names = sorted(f for f in os.listdir(args.ref)
                    if f.endswith(args.suffix))
     snrs, mels = [], []
     for name in names:
-        ep = os.path.join(args.est, name)
+        ep = os.path.join(args.est,
+                          name[: len(name) - len(args.suffix)] + est_suffix)
         if not os.path.exists(ep):
             continue
         a, sr = read_wav(os.path.join(args.ref, name))
         b, _ = read_wav(ep)
-        snrs.append(snr_db(a[:, 0], b[:, 0]))
-        mels.append(mel_distance(a[:, 0], b[:, 0], sr))
+        n = min(len(a), len(b))
+        snrs.append(snr_db(a[:n, 0], b[:n, 0]))
+        mels.append(mel_distance(a[:n, 0], b[:n, 0], sr))
     print(json.dumps({
         "n": len(snrs),
         "snr_db_mean": float(np.mean(snrs)) if snrs else None,
