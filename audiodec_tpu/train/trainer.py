@@ -133,13 +133,18 @@ class GanTrainer:
         logging.info("Resumed from %s @ %d steps", path, self.steps)
 
     def _accumulate(self, metrics):
+        # keep device scalars lazy: a float() here would block every step on
+        # a device->host fetch (ruinous over a high-RTT transport); sums are
+        # accumulated as jax values and fetched once per log interval
         for k, v in metrics.items():
-            self._log_accum[k] = self._log_accum.get(k, 0.0) + float(v)
+            prev = self._log_accum.get(k)
+            self._log_accum[k] = v if prev is None else prev + v
         self._log_count += 1
 
     def _flush_log(self):
         if self._log_count:
-            avg = {k: v / self._log_count for k, v in self._log_accum.items()}
+            avg = {k: float(v) / self._log_count
+                   for k, v in self._log_accum.items()}
             self.writer.write(self.steps, avg, prefix="train/")
             top = {k: round(v, 4) for k, v in list(avg.items())[:6]}
             logging.info("step %d: %s", self.steps, top)
