@@ -144,10 +144,19 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     # per-dot rate does not grow past K=N=128, so larger folds only add
     # halo-offset FLOPs (tools/folded_probe.py fold sweep)
     f = fold if fold else max(1, 128 // c)
-    while f > 1 and t % f:
-        f //= 2
+    # pad time so it folds evenly AND the row count tiles into
+    # sublane-aligned blocks (the TPU lowering requires row blocks that are
+    # multiples of 8, and ragged utterance lengths otherwise have no aligned
+    # divisor).  The units are causal — they never read forward — so the
+    # tail zeros are inert and sliced off before returning.
+    n_rows0 = -(-t // f)
+    align = 256 if n_rows0 >= 256 else 16
+    pad_t = (-t) % (align * f)
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+    t_full = t + pad_t
     fc = f * c
-    n_rows = t // f
+    n_rows = t_full // f
 
     offs2 = _fold_offsets(k2, 1, f) if k2 > 1 else [0]
     span2 = -offs2[0]
@@ -274,4 +283,4 @@ def folded_residual_stack(x, unit_params: Tuple, *,
         out_shape=jax.ShapeDtypeStruct((b, n_rows, fc), x.dtype),
         interpret=interpret,
     )(halos, xf, *flat_w)
-    return out.reshape(b, t, c)
+    return out.reshape(b, t_full, c)[:, :t]

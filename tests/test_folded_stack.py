@@ -57,6 +57,8 @@ def _rand_units(key, c, k=7, n=3):
     (128, 480, 0),
     (256, 512, 0),
     (32, 1800, 4),    # T/F=450: no aligned tile divisor (ragged sublanes)
+    (32, 1799, 0),    # odd T: fold must pad, not degrade to F=1
+    (64, 451, 2),     # odd T with explicit fold (pads to a multiple)
 ])
 def test_folded_stack_matches_xla(c, t, fold):
     key = jax.random.PRNGKey(c + t + fold)
