@@ -117,7 +117,11 @@ class BatchTranscoder:
 
     dtype: compute dtype for the conv stacks.  float32 is the default;
     bfloat16 halves activation traffic (~1.5x faster) with VQ distances kept
-    in f32.  stack='folded' (default) runs the low-channel residual stacks
+    in f32.  dec_dtype (default = dtype) sets the decoder/vocoder dtype
+    independently: dtype=f32 + dec_dtype=bf16 is the "mixed" mode — RVQ
+    indices are computed exactly as in full-f32 mode (the decoder cannot
+    influence them), only the decoded waveform rides bf16.
+    stack='folded' (default) runs the low-channel residual stacks
     in the folded-time Pallas kernel — the same bf16-multiply/f32-accumulate
     numeric class as XLA's own TPU convolutions, ~1.2x faster end-to-end.
     For bit-exact RVQ indices vs the torch reference ON TPU HARDWARE, run
@@ -126,12 +130,13 @@ class BatchTranscoder:
     BENCHMARKS.md "numerics on hardware")."""
 
     def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
-                 dtype=jnp.float32, stack="folded"):
+                 dtype=jnp.float32, stack="folded", dec_dtype=None):
         self.params = params
         self.cfg = cfg
         self.voc = voc
         self.mesh = mesh
         self.dtype = dtype
+        dec_dtype = dtype if dec_dtype is None else dec_dtype
         use_folded = (stack == "folded" and cfg.mode == "causal"
                       and cfg.codec == "audiodec")
         enc_apply = encoder_apply_folded if use_folded else encoder_apply
@@ -145,15 +150,15 @@ class BatchTranscoder:
             self.encode, self.decode = make_sharded_codec(
                 mesh, params, cfg, vocoder=voc)
         else:
-            def cast(tree):
+            def cast(tree, dt):
                 return jax.tree_util.tree_map(
-                    lambda a: a.astype(dtype)
+                    lambda a: a.astype(dt)
                     if a.dtype == jnp.float32 else a, tree)
 
             enc_params = cast({"encoder": params["encoder"],
-                               "projector": params["projector"]})
+                               "projector": params["projector"]}, dtype)
             dec_params = cast(voc[0] if voc is not None
-                              else params["decoder"])
+                              else params["decoder"], dec_dtype)
 
             @jax.jit
             def encode(x):
@@ -166,7 +171,7 @@ class BatchTranscoder:
 
             @jax.jit
             def decode(idx):
-                zq = rvq_lookup(idx, params["quantizer"]).astype(dtype)
+                zq = rvq_lookup(idx, params["quantizer"]).astype(dec_dtype)
                 if voc is None:
                     y = dec_apply(dec_params, zq, cfg)
                 else:
@@ -204,7 +209,8 @@ class BatchTranscoder:
 
 
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
-               dp: int = 1, dtype=jnp.float32, stack="folded"):
+               dp: int = 1, dtype=jnp.float32, stack="folded",
+               dec_dtype=None):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -236,7 +242,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
     elif seq > 1 or dp > 1:
         mesh = make_mesh(data=dp, seq=seq)
     return BatchTranscoder(params, cfg, voc=voc, mesh=mesh,
-                           dtype=dtype, stack=stack), enc_config
+                           dtype=dtype, stack=stack,
+                           dec_dtype=dec_dtype), enc_config
 
 
 def main(argv=None):
@@ -252,8 +259,10 @@ def main(argv=None):
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel devices")
     parser.add_argument("--dtype", default="float32",
-                        choices=["float32", "bfloat16"],
-                        help="conv compute dtype (bfloat16 = fast mode)")
+                        choices=["float32", "bfloat16", "mixed"],
+                        help="conv compute dtype.  bfloat16 = fast mode; "
+                             "mixed = f32 encoder+RVQ (identical indices "
+                             "to float32 mode) with a bf16 decoder")
     parser.add_argument("--stack", default="folded",
                         choices=["folded", "xla"],
                         help="residual-stack impl: folded Pallas kernel "
@@ -290,10 +299,11 @@ def main(argv=None):
         jax.config.update("jax_default_matmul_precision", "highest")
         stack = "xla"
 
+    dtype = (jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    dec_dtype = jnp.bfloat16 if args.dtype == "mixed" else None
     transcoder, config = load_codec(
         args.encoder, args.decoder, args.seq, args.dp,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        stack=stack)
+        dtype=dtype, stack=stack, dec_dtype=dec_dtype)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 

@@ -82,3 +82,24 @@ def test_fused_decoder_matches():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_mixed_dtype_transcode_indices_match_f32():
+    """--dtype mixed (f32 encoder+RVQ, bf16 decoder) produces EXACTLY the
+    indices of the full-f32 path — the decoder cannot influence them — and a
+    decoded waveform within bf16 tolerance of the f32 decode."""
+    from audiodec_tpu.bin.codec_test import BatchTranscoder
+
+    params = generator_init(jax.random.PRNGKey(4), CFG)
+    x = (0.3 * np.random.default_rng(4)
+         .standard_normal((2, 4 * 300, 1))).astype(np.float32)
+
+    full = BatchTranscoder(params, CFG, stack="xla")
+    mixed = BatchTranscoder(params, CFG, stack="xla",
+                            dec_dtype=jnp.bfloat16)
+    idx_f, y_f = full(x)
+    idx_m, y_m = mixed(x)
+    np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_f))
+    assert y_m.dtype == jnp.float32  # output is cast back for wav writes
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_f),
+                               rtol=0.05, atol=0.05)
