@@ -140,6 +140,9 @@ def main(argv=None):
     parser.add_argument("--analyzer", default=None)
     parser.add_argument("--data-path", default=None)
     parser.add_argument("--subset", default="train")
+    parser.add_argument("--subset-num", type=int, default=-1,
+                        help="only scan the first N utterances "
+                             "(ref codecStatistic.py --subset_num)")
     parser.add_argument("--out", default=None)
     parser.add_argument("--batch-size", type=int, default=8,
                         help="windows per device batch")
@@ -158,7 +161,7 @@ def main(argv=None):
 
     data_path = args.data_path or os.path.join(
         config["data"]["path"], config["data"]["subset"][args.subset])
-    dataset = SingleDataset(data_path)
+    dataset = SingleDataset(data_path, subset_num=args.subset_num)
     stats = extract_stats(params, cfg, dataset,
                           batch_size=args.batch_size, dp=args.dp)
     out = args.out or config.get("stats", "stats.npy")

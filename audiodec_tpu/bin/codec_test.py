@@ -111,6 +111,15 @@ def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2):
         yield item
 
 
+def _pcm16(y):
+    """Device-side PCM16 quantization, bit-identical to write_wav's host
+    conversion (round-half-away-from-zero at scale 2^15 — exact in f32 —
+    like csrc/wavio.cpp).  Halves device->host transfer vs float32."""
+    v = y.astype(jnp.float32) * 32768.0
+    q = jnp.trunc(v + jnp.where(v >= 0, 0.5, -0.5))
+    return jnp.clip(q, -32768, 32767).astype(jnp.int16)
+
+
 class BatchTranscoder:
     """Jitted batch encode/decode, optionally vocoder-decoded and/or
     seq-sharded.
@@ -130,7 +139,8 @@ class BatchTranscoder:
     BENCHMARKS.md "numerics on hardware")."""
 
     def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
-                 dtype=jnp.float32, stack="folded", dec_dtype=None):
+                 dtype=jnp.float32, stack="folded", dec_dtype=None,
+                 pcm16=False):
         self.params = params
         self.cfg = cfg
         self.voc = voc
@@ -149,6 +159,9 @@ class BatchTranscoder:
         if mesh is not None:
             self.encode, self.decode = make_sharded_codec(
                 mesh, params, cfg, vocoder=voc)
+            if pcm16:
+                dec, pcm = self.decode, jax.jit(_pcm16)
+                self.decode = lambda idx: pcm(dec(idx))
         else:
             def cast(tree, dt):
                 return jax.tree_util.tree_map(
@@ -176,7 +189,7 @@ class BatchTranscoder:
                     y = dec_apply(dec_params, zq, cfg)
                 else:
                     y = voc_apply(dec_params, zq, voc[1])
-                return y.astype(jnp.float32)
+                return _pcm16(y) if pcm16 else y.astype(jnp.float32)
 
             self.encode, self.decode = encode, decode
 
@@ -210,7 +223,7 @@ class BatchTranscoder:
 
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
                dp: int = 1, dtype=jnp.float32, stack="folded",
-               dec_dtype=None):
+               dec_dtype=None, pcm16=False):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -243,7 +256,7 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
         mesh = make_mesh(data=dp, seq=seq)
     return BatchTranscoder(params, cfg, voc=voc, mesh=mesh,
                            dtype=dtype, stack=stack,
-                           dec_dtype=dec_dtype), enc_config
+                           dec_dtype=dec_dtype, pcm16=pcm16), enc_config
 
 
 def main(argv=None):
@@ -252,6 +265,9 @@ def main(argv=None):
     parser.add_argument("--decoder", required=True)
     parser.add_argument("--data-path", default=None)
     parser.add_argument("--subset", default="test")
+    parser.add_argument("--subset-num", type=int, default=-1,
+                        help="only transcode the first N utterances "
+                             "(ref codecTest.py --subset_num)")
     parser.add_argument("--outdir", default=None)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--seq", type=int, default=1,
@@ -273,6 +289,11 @@ def main(argv=None):
                         help="highest = true-f32 multiplies: bit-exact RVQ "
                              "indices vs the torch reference on TPU "
                              "hardware (slower; forces --stack xla)")
+    parser.add_argument("--float-out", action="store_true",
+                        help="fetch float32 waveforms from the device "
+                             "instead of device-quantized PCM16 (the "
+                             "default halves device->host transfer and "
+                             "writes bit-identical wav files)")
     parser.add_argument("--inflight", type=int, default=2,
                         help="transcode batches kept dispatched on the "
                              "device before fetching the oldest (software "
@@ -303,13 +324,15 @@ def main(argv=None):
     dec_dtype = jnp.bfloat16 if args.dtype == "mixed" else None
     transcoder, config = load_codec(
         args.encoder, args.decoder, args.seq, args.dp,
-        dtype=dtype, stack=stack, dec_dtype=dec_dtype)
+        dtype=dtype, stack=stack, dec_dtype=dec_dtype,
+        pcm16=not args.float_out)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 
     data_path = args.data_path or os.path.join(
         config["data"]["path"], config["data"]["subset"][args.subset])
-    dataset = SingleDataset(data_path, return_utt_id=True)
+    dataset = SingleDataset(data_path, return_utt_id=True,
+                            subset_num=args.subset_num)
     outdir = args.outdir or (
         os.path.splitext(os.path.basename(args.encoder))[0] + "-"
         + os.path.splitext(os.path.basename(args.decoder))[0])

@@ -147,21 +147,34 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, data: np.ndarray, sample_rate: int) -> None:
-    """Write float32 (T,) or (T, C) data as PCM16."""
-    data = np.asarray(data, np.float32)
+    """Write (T,) or (T, C) data as PCM16.
+
+    float32 input is quantized with the symmetric 32768 scale; int16 input
+    is written verbatim (already-quantized samples, e.g. device-side PCM16
+    from codec_test)."""
+    data = np.asarray(data)
+    if data.dtype != np.int16:
+        data = data.astype(np.float32)
     if data.ndim == 1:
         data = data[:, None]
     data = np.ascontiguousarray(data)
     frames, ch = data.shape
-    lib = _native()
-    if lib is not None:
-        rc = lib.wav_write_pcm16(
-            path.encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            frames, ch, sample_rate)
-        if rc == 0:
-            return
-    # fallback (same 32768-scale symmetric quantization as the native path)
-    q = np.clip(np.round(data * 32768.0), -32768, 32767).astype("<i2")
+    if data.dtype == np.int16:
+        q = data.astype("<i2", copy=False)
+    else:
+        lib = _native()
+        if lib is not None:
+            rc = lib.wav_write_pcm16(
+                path.encode(),
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frames, ch, sample_rate)
+            if rc == 0:
+                return
+        # fallback: same 32768-scale symmetric quantization AND the same
+        # round-half-away-from-zero convention as the native path
+        v = data * 32768.0
+        q = np.clip(np.trunc(v + np.where(v >= 0, 0.5, -0.5)),
+                    -32768, 32767).astype("<i2")
     payload = q.tobytes()
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")

@@ -159,3 +159,38 @@ def test_num_frames_and_bucket_planning(wav_dir):
         # padding rows beyond each utterance are zero
         for r, L in enumerate(lens):
             assert not batch[r, L:].any()
+
+
+def test_pcm16_quantization_three_paths_agree(tmp_path):
+    """Device-side PCM16 (codec_test._pcm16), the native C++ writer, and
+    the pure-python fallback all quantize with the same
+    round-half-away-from-zero convention — including exact 0.5-LSB ties and
+    clipping — so files are bit-identical regardless of path."""
+    import jax.numpy as jnp
+    from audiodec_tpu.bin.codec_test import _pcm16
+
+    # exact .5-LSB ties (n/65536), near-clip, clipped, zero, generic values
+    x = np.array([0.0, 1 / 65536, 3 / 65536, -1 / 65536, -3 / 65536,
+                  0.25, -0.25, 0.999999, 32767.49 / 32768, 1.0, -1.0,
+                  2.0, -2.0, 0.3141592], np.float32)[:, None]
+
+    dev = np.asarray(_pcm16(jnp.asarray(x)))[:, 0]
+
+    def file_q(write_x, force_fallback):
+        p = str(tmp_path / f"q{force_fallback}.wav")
+        old = wav_mod._LIB, wav_mod._LIB_TRIED
+        try:
+            if force_fallback:
+                wav_mod._LIB, wav_mod._LIB_TRIED = None, True
+            write_wav(p, write_x, 48000)
+        finally:
+            wav_mod._LIB, wav_mod._LIB_TRIED = old
+        with open(p, "rb") as f:
+            f.seek(44)
+            return np.frombuffer(f.read(), "<i2")
+
+    np.testing.assert_array_equal(file_q(x, False), dev)   # native writer
+    np.testing.assert_array_equal(file_q(x, True), dev)    # py fallback
+    # int16 passthrough writes the device samples verbatim
+    np.testing.assert_array_equal(file_q(dev.astype(np.int16), True), dev)
+    np.testing.assert_array_equal(file_q(dev.astype(np.int16), False), dev)
