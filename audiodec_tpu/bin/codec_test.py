@@ -68,9 +68,24 @@ def plan_buckets(dataset, batch_size: int, chunk: int):
     return plans
 
 
-def load_planned_batch(dataset, plan):
-    """Decode + zero-pad one planned batch -> (uids, batch, lens)."""
+def load_planned_batch(dataset, plan, pcm16_in=False):
+    """Decode + zero-pad one planned batch -> (uids, batch, lens).
+
+    pcm16_in: when every file in the batch is PCM16, ship raw int16
+    samples (the device normalizes by 1/32768, bit-identical to host float
+    conversion at half the transfer bytes); falls back to float32 if any
+    file is not PCM16."""
     idxs, lens, padded = plan
+
+    if pcm16_in and getattr(dataset, "load_fn", None) == "audio":
+        from audiodec_tpu.data import read_wav_pcm16
+        raws = [read_wav_pcm16(dataset.filenames[j]) for j in idxs]
+        if all(r is not None for r in raws):
+            batch = np.zeros((len(idxs), padded, raws[0][0].shape[-1]),
+                             np.int16)
+            for row, (x, _) in enumerate(raws):
+                batch[row, :lens[row]] = x
+            return [dataset.utt_ids[j] for j in idxs], batch, lens
 
     def data(j):
         item = dataset[j]
@@ -85,7 +100,8 @@ def load_planned_batch(dataset, plan):
     return uids, batch, lens
 
 
-def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2):
+def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2,
+                   pcm16_in: bool = False):
     """Yield (uids, batch, lens) with a decode thread running `prefetch`
     batches ahead of the consumer, so host wav I/O overlaps device
     compute."""
@@ -98,7 +114,7 @@ def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2):
     def producer():
         try:
             for plan in plans:
-                out.put(load_planned_batch(dataset, plan))
+                out.put(load_planned_batch(dataset, plan, pcm16_in))
         finally:
             out.put(None)
 
@@ -175,6 +191,11 @@ class BatchTranscoder:
 
             @jax.jit
             def encode(x):
+                if x.dtype == jnp.int16:
+                    # device-side normalization of raw PCM16 input:
+                    # int16->f32 and /2^15 are exact, so this equals the
+                    # host float read bit-for-bit
+                    x = x.astype(jnp.float32) / 32768.0
                 h = enc_apply(enc_params["encoder"], x.astype(dtype),
                               cfg)
                 z = projector_apply(enc_params["projector"], h, cfg)
@@ -195,6 +216,9 @@ class BatchTranscoder:
 
     def __call__(self, x: np.ndarray):
         pad = 0
+        if self.mesh is not None and x.dtype == np.int16:
+            # the sharded codec takes float input; normalize host-side
+            x = x.astype(np.float32) / 32768.0
         if self.mesh is not None:
             data = self.mesh.shape["data"]
             pad = (-x.shape[0]) % data
@@ -289,6 +313,11 @@ def main(argv=None):
                         help="highest = true-f32 multiplies: bit-exact RVQ "
                              "indices vs the torch reference on TPU "
                              "hardware (slower; forces --stack xla)")
+    parser.add_argument("--float-in", action="store_true",
+                        help="convert PCM16 inputs to float32 on the host "
+                             "instead of shipping raw int16 and "
+                             "normalizing on device (identical numerics, "
+                             "2x the upload bytes)")
     parser.add_argument("--float-out", action="store_true",
                         help="fetch float32 waveforms from the device "
                              "instead of device-quantized PCM16 (the "
@@ -378,7 +407,8 @@ def main(argv=None):
 
     t_start = time.perf_counter()
     for uids, batch, lens in bucket_batches(dataset, args.batch_size, chunk,
-                                            prefetch=args.inflight):
+                                            prefetch=args.inflight,
+                                            pcm16_in=not args.float_in):
         idx, y = transcoder(batch)  # async dispatch
         inflight.append((uids, lens, batch.shape[1], time.perf_counter(),
                          idx, y))

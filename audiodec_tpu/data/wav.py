@@ -127,6 +127,25 @@ def wav_info(path: str) -> Tuple[int, int, int]:
     return sr, ch, size // (bits // 8) // ch
 
 
+def read_wav_pcm16(path: str):
+    """-> (int16 array (T, C), sample_rate) if the file is PCM16, else None.
+
+    Raw samples without float conversion: a PCM16 batch shipped to the
+    device and normalized there (x / 32768, exact in f32) is bit-identical
+    to read_wav's host-side float conversion at half the transfer bytes."""
+    try:
+        with open(path, "rb") as f:
+            tag, ch, sr, bits, off, size = _py_parse_header(f)
+            if tag != 1 or bits != 16:
+                return None
+            f.seek(off)
+            raw = f.read(size)
+    except (OSError, ValueError):
+        return None
+    x = np.frombuffer(raw, "<i2", count=size // 2)
+    return x.reshape(-1, ch), sr
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """-> (float32 array (T, C) in [-1, 1], sample_rate)"""
     lib = _native()

@@ -194,3 +194,18 @@ def test_pcm16_quantization_three_paths_agree(tmp_path):
     # int16 passthrough writes the device samples verbatim
     np.testing.assert_array_equal(file_q(dev.astype(np.int16), True), dev)
     np.testing.assert_array_equal(file_q(dev.astype(np.int16), False), dev)
+
+
+def test_pcm16_input_batches_match_float(wav_dir):
+    """load_planned_batch(pcm16_in=True) ships raw int16 whose device
+    normalization (x/32768) equals the float32 read bit-for-bit."""
+    from audiodec_tpu.bin.codec_test import load_planned_batch, plan_buckets
+
+    ds = SingleDataset(wav_dir, return_utt_id=True)
+    for plan in plan_buckets(ds, batch_size=4, chunk=300):
+        uids_f, bf, lens_f = load_planned_batch(ds, plan)
+        uids_i, bi, lens_i = load_planned_batch(ds, plan, pcm16_in=True)
+        assert uids_i == uids_f and lens_i == lens_f
+        assert bi.dtype == np.int16 and bf.dtype == np.float32
+        np.testing.assert_array_equal(
+            bi.astype(np.float32) / 32768.0, bf)
