@@ -135,6 +135,8 @@ def extract_stats(params, cfg, dataset, window_hops: int = 160,
 
 
 def main(argv=None):
+    from audiodec_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--analyzer", default=None)

@@ -284,6 +284,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
 
 
 def main(argv=None):
+    from audiodec_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--encoder", required=True)
     parser.add_argument("--decoder", required=True)

@@ -97,6 +97,8 @@ def load_analyzer(config):
 
 
 def main(argv=None):
+    from audiodec_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--tag", required=True, help="experiment output dir")

@@ -52,6 +52,8 @@ def build_streaming_codec(encoder_ckpt: str, decoder_ckpt: str):
 
 
 def main(argv=None):
+    from audiodec_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default=None,
                         help="registry name (e.g. vctk_v1)")

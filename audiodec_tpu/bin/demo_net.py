@@ -34,6 +34,8 @@ def _addr(s: str):
 
 
 def main(argv=None):
+    from audiodec_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("mode", choices=["tx", "rx"])
     parser.add_argument("--model", default=None)

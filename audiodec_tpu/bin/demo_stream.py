@@ -26,6 +26,8 @@ from audiodec_tpu.streaming import DeviceStreamer, SimulatedStreamer
 
 
 def main(argv=None):
+    from audiodec_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default=None)
     parser.add_argument("--encoder", default=None)

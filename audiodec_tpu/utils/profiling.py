@@ -9,6 +9,27 @@ import time
 from typing import Dict, Optional
 
 
+def enable_compile_cache(path: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache for this process.
+
+    Every CLI entry point calls this: on the tunneled TPU a fresh process
+    otherwise re-pays minutes of remote compile for the big jitted
+    transcode/train graphs.  Honors JAX_COMPILATION_CACHE_DIR, defaulting
+    to ~/.cache/jax_comp_cache."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  os.path.expanduser(
+                                      "~/.cache/jax_comp_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs: compile cache is best-effort
+
+
 @contextlib.contextmanager
 def device_trace(outdir: Optional[str]):
     """Capture a jax.profiler trace into `outdir` (no-op when None)."""
