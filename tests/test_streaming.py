@@ -266,3 +266,39 @@ def test_network_codec_transport(params):
     audio_secs = n * frame / 48000
     expect_kbps = n * per_packet * 8 / 1000.0 / audio_secs
     assert tx_stats["wire_kbps"] == pytest.approx(expect_kbps, rel=1e-6)
+
+
+def test_batched_concurrent_streams_equal_independent(params):
+    """StreamingCodec(batch=B) serves B concurrent independent streams: each
+    batch row's indices are bit-equal to running that stream alone through
+    its own batch=1 codec (causal state never mixes rows), and waveforms
+    match to reassociation tolerance (XLA may reduce differently per batch
+    size).
+    This is the multi-session serving mode (N calls per chip) the reference
+    has no analogue of (its pad_buffers are registered (1,C,L) buffers)."""
+    hop = CFG.hop_length
+    n, B = 6, 3
+    rng = np.random.default_rng(11)
+    x = 0.2 * rng.standard_normal((B, n * hop, 1)).astype(np.float32)
+
+    batched = StreamingCodec(params, CFG, batch=B)
+    idx_b, y_b = [], []
+    for i in range(n):
+        idx = batched.encode(jnp.asarray(x[:, i * hop:(i + 1) * hop]))
+        idx_b.append(np.asarray(idx))
+        y_b.append(np.asarray(batched.decode(idx)))
+    idx_b = np.concatenate(idx_b, axis=1)
+    y_b = np.concatenate(y_b, axis=1)
+
+    for r in range(B):
+        solo = StreamingCodec(params, CFG, batch=1)
+        idx_s, y_s = [], []
+        for i in range(n):
+            idx = solo.encode(jnp.asarray(x[r:r + 1,
+                                            i * hop:(i + 1) * hop]))
+            idx_s.append(np.asarray(idx))
+            y_s.append(np.asarray(solo.decode(idx)))
+        np.testing.assert_array_equal(np.concatenate(idx_s, axis=1)[0],
+                                      idx_b[r])
+        np.testing.assert_allclose(np.concatenate(y_s, axis=1)[0],
+                                   y_b[r], rtol=1e-2, atol=1e-8)

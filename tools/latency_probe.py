@@ -6,13 +6,23 @@ this isolates kernel latency from the host<->device tunnel overhead of this
 environment (which adds ~30 ms per host-driven call and is an artifact of
 the axon relay, not the TPU).  Reference comparison: <6 ms GPU decoder
 latency (ref README.md:7, figs/latency.jpg).
+
+--batch B measures B concurrent independent streams through one batched
+state pytree (the multi-session serving mode; StreamingCodec(batch=B)):
+per-hop latency vs B tells how many live calls one chip sustains under the
+6 ms budget.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
 import time
 
 import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from audiodec_tpu.models.autoencoder import GeneratorConfig, generator_init
@@ -21,33 +31,43 @@ from audiodec_tpu.streaming.engine import (
     scan_streaming_encode,
 )
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--batch", type=int, nargs="+", default=[1],
+                help="concurrent independent streams (batched state)")
+ap.add_argument("--hops", type=int, default=64)
+args = ap.parse_args()
+
 cfg = GeneratorConfig()
 params = generator_init(jax.random.PRNGKey(0), cfg)
 hop = cfg.hop_length
-N = 64
-x = jnp.asarray(0.3 * np.random.default_rng(0).standard_normal(
-    (1, N * hop, 1)).astype(np.float32))
+N = args.hops
 
 enc = jax.jit(lambda p, x: scan_streaming_encode(p, cfg, x))
 dec = jax.jit(lambda p, i: scan_streaming_decode(p, cfg, i))
 
-idx = enc(params, x)
-float(idx[0, 0, 0])
-y = dec(params, idx)
-float(y[0, 0, 0])
+for B in args.batch:
+    x = jnp.asarray(0.3 * np.random.default_rng(0).standard_normal(
+        (B, N * hop, 1)).astype(np.float32))
 
-t0 = time.perf_counter()
-for _ in range(3):
     idx = enc(params, x)
     float(idx[0, 0, 0])
-enc_ms = (time.perf_counter() - t0) / 3 / N * 1000
-
-t0 = time.perf_counter()
-for _ in range(3):
     y = dec(params, idx)
     float(y[0, 0, 0])
-dec_ms = (time.perf_counter() - t0) / 3 / N * 1000
 
-print(f"per-hop encode: {enc_ms:.3f} ms | per-hop decode: {dec_ms:.3f} ms | "
-      f"hop = {hop/48000*1000:.2f} ms audio | "
-      f"e2e chunk latency (compute) = {enc_ms+dec_ms:.3f} ms", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        idx = enc(params, x)
+        float(idx[0, 0, 0])
+    enc_ms = (time.perf_counter() - t0) / 3 / N * 1000
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        y = dec(params, idx)
+        float(y[0, 0, 0])
+    dec_ms = (time.perf_counter() - t0) / 3 / N * 1000
+
+    print(f"B={B:4d} concurrent streams | per-hop encode: {enc_ms:.3f} ms | "
+          f"decode: {dec_ms:.3f} ms | e2e chunk (compute): "
+          f"{enc_ms + dec_ms:.3f} ms | hop = {hop / 48000 * 1000:.2f} ms "
+          f"audio | under-6ms: {'yes' if enc_ms + dec_ms < 6 else 'NO'}",
+          flush=True)
