@@ -68,7 +68,9 @@ def main():
         y = decoder_apply(dec_params, zq.astype(jnp.bfloat16), cfg)
         return idx, y.astype(jnp.float32)
 
-    iters = 8
+    # enough on-device iterations that the single dispatch's tunnel RTT
+    # (~30 ms in this environment) is <1.5% of the measured loop
+    iters = 16
 
     @jax.jit
     def transcode_loop(x):
