@@ -126,6 +126,17 @@ def test_train_stats_test_demo_pipeline(workdir):
     outs = os.listdir(outdir)
     assert len([f for f in outs if f.endswith("_output.wav")]) == 3
 
+    # mixed dtype (bf16 decoder) + host-float I/O path: runs end-to-end and
+    # writes every utterance (index identity vs f32 is pinned in
+    # test_fast_paths)
+    outdir_m = str(root / "out_mixed")
+    codec_test.main(["--encoder", final, "--decoder", final,
+                     "--subset", "test", "--outdir", outdir_m,
+                     "--batch-size", "2", "--dtype", "mixed",
+                     "--float-in", "--float-out"])
+    assert len([f for f in os.listdir(outdir_m)
+                if f.endswith("_output.wav")]) == 3
+
     # demo: file codec roundtrip + bitstream output
     from audiodec_tpu.bin import demo_file
     in_wav = str(root / "corpus" / "test" / "test0.wav")
