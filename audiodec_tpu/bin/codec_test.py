@@ -78,14 +78,17 @@ def load_planned_batch(dataset, plan, pcm16_in=False):
     idxs, lens, padded = plan
 
     if pcm16_in and getattr(dataset, "load_fn", None) == "audio":
-        from audiodec_tpu.data import read_wav_pcm16
-        raws = [read_wav_pcm16(dataset.filenames[j]) for j in idxs]
-        if all(r is not None for r in raws):
-            batch = np.zeros((len(idxs), padded, raws[0][0].shape[-1]),
-                             np.int16)
-            for row, (x, _) in enumerate(raws):
-                batch[row, :lens[row]] = x
-            return [dataset.utt_ids[j] for j in idxs], batch, lens
+        from audiodec_tpu.data.wav import read_wav_pcm16, wav_is_pcm16
+        # header-only probe first so a non-PCM16 file in the batch doesn't
+        # cost a wasted payload read of its PCM16 neighbors
+        if all(wav_is_pcm16(dataset.filenames[j]) for j in idxs):
+            raws = [read_wav_pcm16(dataset.filenames[j]) for j in idxs]
+            if all(r is not None for r in raws):
+                batch = np.zeros((len(idxs), padded, raws[0][0].shape[-1]),
+                                 np.int16)
+                for row, (x, _) in enumerate(raws):
+                    batch[row, :lens[row]] = x
+                return [dataset.utt_ids[j] for j in idxs], batch, lens
 
     def data(j):
         item = dataset[j]
@@ -115,8 +118,9 @@ def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2,
         try:
             for plan in plans:
                 out.put(load_planned_batch(dataset, plan, pcm16_in))
-        finally:
             out.put(None)
+        except BaseException as e:  # re-raised in the consumer
+            out.put(e)
 
     t = _threading.Thread(target=producer, daemon=True)
     t.start()
@@ -124,6 +128,8 @@ def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2,
         item = out.get()
         if item is None:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -174,7 +180,8 @@ class BatchTranscoder:
             voc_apply = vocoder_apply
         if mesh is not None:
             self.encode, self.decode = make_sharded_codec(
-                mesh, params, cfg, vocoder=voc)
+                mesh, params, cfg, vocoder=voc,
+                dtype=dtype, dec_dtype=dec_dtype)
             if pcm16:
                 dec, pcm = self.decode, jax.jit(_pcm16)
                 self.decode = lambda idx: pcm(dec(idx))

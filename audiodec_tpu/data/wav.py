@@ -127,8 +127,20 @@ def wav_info(path: str) -> Tuple[int, int, int]:
     return sr, ch, size // (bits // 8) // ch
 
 
+def wav_is_pcm16(path: str) -> bool:
+    """Header-only probe: True iff the file parses as PCM16 WAV."""
+    try:
+        with open(path, "rb") as f:
+            tag, _, _, bits, _, _ = _py_parse_header(f)
+        return tag == 1 and bits == 16
+    except (OSError, ValueError):
+        return False
+
+
 def read_wav_pcm16(path: str):
-    """-> (int16 array (T, C), sample_rate) if the file is PCM16, else None.
+    """-> (int16 array (T, C), sample_rate) if the file is PCM16, else None
+    (returns None on ANY parse/shape failure — callers fall back to the
+    float read path).
 
     Raw samples without float conversion: a PCM16 batch shipped to the
     device and normalized there (x / 32768, exact in f32) is bit-identical
@@ -140,10 +152,10 @@ def read_wav_pcm16(path: str):
                 return None
             f.seek(off)
             raw = f.read(size)
+        x = np.frombuffer(raw, "<i2", count=len(raw) // 2)
+        return x.reshape(-1, ch), sr
     except (OSError, ValueError):
         return None
-    x = np.frombuffer(raw, "<i2", count=size // 2)
-    return x.reshape(-1, ch), sr
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:

@@ -100,7 +100,8 @@ def _left_halo(x, halo: int, axis_name: str):
 
 
 def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
-                       vocoder: Optional[Tuple[dict, VocoderConfig]] = None):
+                       vocoder: Optional[Tuple[dict, VocoderConfig]] = None,
+                       dtype=jnp.float32, dec_dtype=None):
     """Build jitted sharded encode/decode over a ('data','seq') mesh.
 
     Returns (encode, decode):
@@ -109,7 +110,18 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
     T must be divisible by seq_size * hop.  RVQ indices are bit-identical to
     the single-device batch path; waveforms match to f32 rounding (XLA may
     reassociate conv reductions across the different padded shapes).
+
+    dtype / dec_dtype mirror BatchTranscoder's dtype modes: dtype is the
+    encoder-side compute dtype (VQ distances always f32), dec_dtype
+    (default = dtype) the decoder/vocoder dtype — dtype=f32 +
+    dec_dtype=bf16 is the mixed mode with indices identical to full f32.
     """
+    dec_dtype = dtype if dec_dtype is None else dec_dtype
+
+    def _cast(tree, dt):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, tree)
+
     hop = cfg.hop_length
     h_samples = encoder_halo_samples(cfg)
     h_frames_enc = h_samples // hop
@@ -121,38 +133,45 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
 
     def enc_local(params, x):
         halo = _left_halo(x, h_samples, "seq")
-        xp = jnp.concatenate([halo, x], axis=1)
+        xp = jnp.concatenate([halo, x], axis=1).astype(dtype)
         h = encoder_apply(params["encoder"], xp, cfg)
         z = projector_apply(params["projector"], h, cfg)
-        _, idx = rvq_forward_index(z, params["quantizer"])
+        _, idx = rvq_forward_index(z.astype(jnp.float32),
+                                   params["quantizer"])
         return idx[:, h_frames_enc:, :]
 
     def dec_local(params, idx):
         halo = _left_halo(idx, h_dec, "seq")
         idxp = jnp.concatenate([halo, idx], axis=1)
-        zq = rvq_lookup(idxp, params["quantizer"])
+        zq = rvq_lookup(idxp, params["quantizer"]).astype(dec_dtype)
         if vocoder is None:
             y = decoder_apply(params["decoder"], zq, cfg)
         else:
             y = vocoder_apply(params["voc"], zq, voc_cfg)
-        return y[:, h_dec * hop:, :]
+        return y[:, h_dec * hop:, :].astype(jnp.float32)
 
     wav_spec = P("data", "seq", None)
     idx_spec = P("data", "seq", None)
 
+    enc_params = {"encoder": _cast(params["encoder"], dtype),
+                  "projector": _cast(params["projector"], dtype),
+                  "quantizer": params["quantizer"]}
+    dec_params = {"quantizer": params["quantizer"]}
     if vocoder is not None:
-        params = dict(params, voc=vocoder[0])
+        dec_params["voc"] = _cast(vocoder[0], dec_dtype)
+    else:
+        dec_params["decoder"] = _cast(params["decoder"], dec_dtype)
 
     @jax.jit
     def encode(x):
         return shard_map(enc_local, mesh=mesh,
                          in_specs=(P(), wav_spec), out_specs=idx_spec,
-                         check_vma=False)(params, x)
+                         check_vma=False)(enc_params, x)
 
     @jax.jit
     def decode(idx):
         return shard_map(dec_local, mesh=mesh,
                          in_specs=(P(), idx_spec), out_specs=wav_spec,
-                         check_vma=False)(params, idx)
+                         check_vma=False)(dec_params, idx)
 
     return encode, decode

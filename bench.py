@@ -108,6 +108,11 @@ def main():
         "value": round(rtf, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1000.0, 3),
+        # workload marker: mixed = f32 encoder+RVQ (indices identical to
+        # full-f32 mode) + bf16 decoder.  Earlier recorded series
+        # (BENCH_r*.json before 2026-08-19, BENCHMARKS.md tables) used
+        # "f32" = full-f32; keep series comparable via this field.
+        "mode": "mixed",
     }))
 
 

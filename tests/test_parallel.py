@@ -125,3 +125,27 @@ def test_tensor_parallel_codec(setup, tp):
     y = decode(idx)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_sharded_codec_dtype_modes(setup):
+    """Sharded codec honors dtype/dec_dtype: mixed mode (f32 encoder, bf16
+    decoder) yields indices bit-equal to the f32 sharded path (and to the
+    single-device reference), with the waveform within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    params, x = setup
+    mesh = make_mesh(data=2, seq=2)
+    enc_f32, dec_f32 = make_sharded_codec(mesh, params, CFG)
+    enc_mix, dec_mix = make_sharded_codec(mesh, params, CFG,
+                                          dec_dtype=jnp.bfloat16)
+
+    idx_f32 = enc_f32(x)
+    idx_mix = enc_mix(x)
+    np.testing.assert_array_equal(np.asarray(idx_mix), np.asarray(idx_f32))
+    np.testing.assert_array_equal(np.asarray(idx_mix),
+                                  np.asarray(reference_encode(params, x)))
+
+    y_f32 = np.asarray(dec_f32(idx_f32))
+    y_mix = np.asarray(dec_mix(idx_mix))
+    assert y_mix.dtype == np.float32
+    np.testing.assert_allclose(y_mix, y_f32, rtol=0.05, atol=0.05)

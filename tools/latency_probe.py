@@ -20,9 +20,9 @@ import time
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from audiodec_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 
 from audiodec_tpu.models.autoencoder import GeneratorConfig, generator_init
