@@ -209,3 +209,24 @@ def test_pcm16_input_batches_match_float(wav_dir):
         assert bi.dtype == np.int16 and bf.dtype == np.float32
         np.testing.assert_array_equal(
             bi.astype(np.float32) / 32768.0, bf)
+
+
+def test_bucket_batches_propagates_producer_errors(wav_dir):
+    """A load failure in the prefetch thread re-raises in the consumer
+    instead of silently truncating the run (codec_test would otherwise
+    report success on a partial corpus)."""
+    import pytest
+    from audiodec_tpu.bin import codec_test as ct
+
+    ds = SingleDataset(wav_dir, return_utt_id=True)
+    orig = ct.load_planned_batch
+
+    def boom(dataset, plan, pcm16_in=False):
+        raise RuntimeError("decode failed")
+
+    ct.load_planned_batch = boom
+    try:
+        with pytest.raises(RuntimeError, match="decode failed"):
+            list(ct.bucket_batches(ds, batch_size=2, chunk=300))
+    finally:
+        ct.load_planned_batch = orig

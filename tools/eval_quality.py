@@ -11,6 +11,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# host-side metric computation: tiny per-utterance mels are far faster on
+# CPU than dispatched through the TPU tunnel (~30 ms RTT per call)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     parser = argparse.ArgumentParser()
