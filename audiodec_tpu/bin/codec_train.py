@@ -102,6 +102,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--tag", required=True, help="experiment output dir")
+    parser.add_argument("--exp-root", default="",
+                        help="prefix joined ahead of --tag "
+                             "(ref codecTrain.py --exp_root; expdir = "
+                             "exp_root/tag)")
     parser.add_argument("--resume", default="")
     parser.add_argument("--seed", type=int, default=1337)
     parser.add_argument("--dp", type=int, default=1,
@@ -124,6 +128,8 @@ def main(argv=None):
     primary = jax.process_index() == 0
 
     config = load_config(args.config)
+    if args.exp_root:
+        args.tag = os.path.join(args.exp_root, args.tag)
     os.makedirs(args.tag, exist_ok=True)
     # snapshot config next to checkpoints (ref: bin/train.py:58-64)
     if primary:
