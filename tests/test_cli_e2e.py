@@ -209,3 +209,46 @@ def test_denoise_training_pipeline(workdir):
     a = ae_state["gen"]["decoder"]["conv1"]["w"]
     b = dn_state["gen"]["decoder"]["conv1"]["w"]
     np_.testing.assert_array_equal(np_.asarray(a), np_.asarray(b))
+
+
+def test_codec_serve_stdin(workdir, monkeypatch, capsys):
+    """codec_serve --stdin: persistent transcoder produces files identical
+    to codec_test for the same checkpoint and prints one JSON per input."""
+    import io
+    import sys as _sys
+
+    root, cfg_path = workdir
+    final = os.path.join(str(root / "exp" / "tiny"), "checkpoint-final.ckpt")
+    ct_out = str(root / "out")
+    if not os.path.exists(final):  # standalone invocation
+        from audiodec_tpu.bin import codec_train
+        codec_train.main(["--config", cfg_path,
+                          "--tag", str(root / "exp" / "tiny")])
+    if not os.path.isdir(ct_out):
+        from audiodec_tpu.bin import codec_test
+        codec_test.main(["--encoder", final, "--decoder", final,
+                         "--subset", "test", "--outdir", ct_out,
+                         "--batch-size", "2"])
+    wavs = sorted(
+        str(root / "corpus" / "test" / f) for f in
+        os.listdir(root / "corpus" / "test") if f.endswith(".wav"))
+    outdir = str(root / "serve_out")
+
+    from audiodec_tpu.bin import codec_serve
+    capsys.readouterr()  # drop bootstrap output (codec_test summary JSON)
+    monkeypatch.setattr(_sys, "stdin", io.StringIO("\n".join(wavs) + "\n"))
+    codec_serve.main(["--encoder", final, "--decoder", final,
+                      "--outdir", outdir, "--stdin", "--dtype", "float32",
+                      "--warmup-seconds", "0", "--batch-size", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 3
+    outs = sorted(os.listdir(outdir))
+    assert outs == [os.path.basename(w).replace(".wav", "_output.wav")
+                    for w in wavs]
+
+    # identical bytes to the codec_test output of the same checkpoint
+    for f in outs:
+        with open(os.path.join(outdir, f), "rb") as a, \
+                open(os.path.join(ct_out, f), "rb") as b:
+            assert a.read() == b.read()
