@@ -90,8 +90,10 @@ def test_codec_test_cli_multihost(tmp_path):
         text=True) for i in range(2)]
     outs = [p.communicate(timeout=540) for p in procs]
     assert all(p.returncode == 0 for p in procs), outs
-    stats = json.loads([l for l in outs[0][0].splitlines()
-                        if l.startswith("{")][-1])
+    # Gloo sometimes appends its connection banner to the same stdout line
+    # as our JSON; raw_decode tolerates trailing junk
+    stats = json.JSONDecoder().raw_decode(
+        [l for l in outs[0][0].splitlines() if l.startswith("{")][-1])[0]
     assert stats["hosts"] == 2 and stats["utterances"] == 4
 
     for i in range(4):
