@@ -252,3 +252,40 @@ def test_codec_serve_stdin(workdir, monkeypatch, capsys):
         with open(os.path.join(outdir, f), "rb") as a, \
                 open(os.path.join(ct_out, f), "rb") as b:
             assert a.read() == b.read()
+
+
+def test_codec_serve_watch(workdir):
+    """codec_serve --watch: files dropped into a directory are transcoded;
+    the .stop marker shuts the server down cleanly."""
+    import shutil
+    import threading
+    import time as _time
+
+    root, cfg_path = workdir
+    final = os.path.join(str(root / "exp" / "tiny"), "checkpoint-final.ckpt")
+    if not os.path.exists(final):  # standalone invocation
+        from audiodec_tpu.bin import codec_train
+        codec_train.main(["--config", cfg_path,
+                          "--tag", str(root / "exp" / "tiny")])
+    watch = str(root / "watch_in")
+    outdir = str(root / "watch_out")
+    os.makedirs(watch, exist_ok=True)
+    src = str(root / "corpus" / "test" / "test0.wav")
+
+    def feeder():
+        shutil.copy(src, os.path.join(watch, "job.wav"))
+        deadline = _time.monotonic() + 120
+        out = os.path.join(outdir, "job_output.wav")
+        while _time.monotonic() < deadline and not os.path.exists(out):
+            _time.sleep(0.1)
+        open(os.path.join(watch, ".stop"), "w").close()
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    from audiodec_tpu.bin import codec_serve
+    codec_serve.main(["--encoder", final, "--decoder", final,
+                      "--outdir", outdir, "--watch", watch, "--poll", "0.1",
+                      "--dtype", "float32", "--warmup-seconds", "0",
+                      "--linger", "0.05"])
+    t.join(timeout=10)
+    assert os.path.exists(os.path.join(outdir, "job_output.wav"))
