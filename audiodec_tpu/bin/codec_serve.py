@@ -12,12 +12,20 @@ Modes:
                 (or the given out path); print one JSON line per file.
   --watch DIR   poll DIR for new wavs; transcode each once, write results
                 to --outdir; keeps running until SIGTERM/EOF marker file
-                DIR/.stop appears.
+                DIR/.stop appears.  Files are picked up only after their
+                size is stable across two polls (a writer may still be
+                flushing).
 
 Jobs are micro-batched: paths arriving within --linger seconds (or up to
 --batch-size files) transcode as one padded batch, so a burst of files
-rides the device at batch throughput.  All codec flags match codec_test
-(--dtype mixed, --stack, --precision, --seq/--dp need a mesh and are not
+rides the device at batch throughput.  Device batches always use the full
+--batch-size row count and a time axis bucketed to multiples of the
+warmup length, so a long-lived server sees a small, warm set of compiled
+shapes (each new shape would otherwise pay a fresh compile — minutes on a
+relayed TPU for folded-stack graphs).  Bad inputs (unreadable file, wrong
+sample rate, mismatched channel count) produce a JSON error line for that
+file and never take the server down.  All codec flags match codec_test
+(--dtype mixed, --stack, --precision; --seq/--dp need a mesh and are not
 supported here — this is the single-host serving surface).
 
 Usage:
@@ -31,7 +39,9 @@ import argparse
 import json
 import logging
 import os
+import queue
 import sys
+import threading
 import time
 
 import numpy as np
@@ -39,8 +49,31 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def iter_stdin_jobs():
-    for line in sys.stdin:
+def iter_stdin_jobs(linger_s: float):
+    """Yields (src, dst) jobs from stdin, or None as an idle tick.
+
+    stdin is drained on a background thread so a slow producer cannot
+    block the linger deadline: the main loop receives None ticks while
+    waiting, letting a partial batch flush after --linger seconds instead
+    of waiting for the next line (or EOF)."""
+    q: "queue.Queue" = queue.Queue()
+    _eof = object()
+
+    def reader():
+        for line in sys.stdin:
+            q.put(line)
+        q.put(_eof)
+
+    threading.Thread(target=reader, daemon=True).start()
+    tick = max(0.01, min(0.05, linger_s / 4 if linger_s > 0 else 0.05))
+    while True:
+        try:
+            line = q.get(timeout=tick)
+        except queue.Empty:
+            yield None
+            continue
+        if line is _eof:
+            return
         line = line.strip()
         if not line:
             continue
@@ -53,16 +86,29 @@ def iter_stdin_jobs():
 
 def iter_watch_jobs(watch_dir: str, poll_s: float):
     """Yields (src, dst) jobs, or None as an idle tick so the consumer can
-    flush a lingering partial batch between file arrivals."""
+    flush a lingering partial batch between file arrivals.
+
+    A file is only yielded once its size is unchanged between two polls —
+    a producer still writing it would otherwise hand us a truncated wav."""
     seen = set()
+    sizes = {}
     while True:
         if os.path.exists(os.path.join(watch_dir, ".stop")):
             return
         for name in sorted(os.listdir(watch_dir)):
             if not name.endswith(".wav") or name in seen:
                 continue
-            seen.add(name)
-            yield os.path.join(watch_dir, name), None
+            path = os.path.join(watch_dir, name)
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                continue
+            if sizes.get(name) == size:
+                seen.add(name)
+                sizes.pop(name, None)
+                yield path, None
+            else:
+                sizes[name] = size
         yield None
         time.sleep(poll_s)
 
@@ -81,7 +127,9 @@ def main(argv=None):
     parser.add_argument("--poll", type=float, default=0.5,
                         help="watch-mode poll interval seconds")
     parser.add_argument("--batch-size", type=int, default=8,
-                        help="max files per device batch")
+                        help="device batch row count (partial batches are "
+                             "zero-padded to this, keeping one compiled "
+                             "shape per length bucket)")
     parser.add_argument("--linger", type=float, default=0.2,
                         help="seconds to wait for more jobs before "
                              "dispatching a partial batch")
@@ -93,7 +141,9 @@ def main(argv=None):
     parser.add_argument("--precision", default="default",
                         choices=["default", "highest"])
     parser.add_argument("--warmup-seconds", type=float, default=10.0,
-                        help="compile-priming transcode length (0 skips)")
+                        help="compile-priming transcode length; also the "
+                             "time-axis bucket unit (0 skips warmup and "
+                             "buckets by hop only)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -115,50 +165,86 @@ def main(argv=None):
     hop = transcoder.cfg.hop_length
     os.makedirs(args.outdir, exist_ok=True)
 
+    # Time axes are padded up to a multiple of t_unit (and batches to
+    # batch_size rows) so the server cycles a small set of compiled shapes.
+    t_unit = hop
     if args.warmup_seconds > 0:
-        # prime compile (and the Mosaic executable load on relayed
-        # backends) before serving, at a representative padded length
-        t = max(hop, int(round(args.warmup_seconds * sr_expect
-                               / hop)) * hop)
-        z = np.zeros((args.batch_size, t, 1), np.int16)
+        t_unit = max(hop, int(round(args.warmup_seconds * sr_expect
+                                    / hop)) * hop)
+        z = np.zeros((args.batch_size, t_unit, 1), np.int16)
         idx, y = transcoder(z)
         np.asarray(y)
         logging.info("warmup done (batch %d x %.1fs)", args.batch_size,
-                     t / sr_expect)
+                     t_unit / sr_expect)
+
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
+    def load_job(src):
+        """-> (data, sr) or None (an error line was emitted)."""
+        try:
+            x = sr = None
+            if wav_is_pcm16(src):
+                got = read_wav_pcm16(src)  # None on truncated payload
+                if got is not None:
+                    x, sr = got
+            if x is None:
+                x, sr = read_wav(src)
+        except Exception as e:  # unreadable / malformed / vanished file
+            emit({"input": src, "error": f"read failed: {e}"})
+            return None
+        if len(x) == 0:
+            emit({"input": src, "error": "empty audio"})
+            return None
+        if sr != sr_expect:
+            emit({"input": src, "error":
+                  f"sample rate {sr} != model rate {sr_expect}"})
+            return None
+        return x, sr
 
     def flush(batch_jobs):
         """Transcode one micro-batch of (src, dst) jobs."""
-        datas, srs = [], []
-        for src, _ in batch_jobs:
-            if wav_is_pcm16(src):
-                x, sr = read_wav_pcm16(src)
-            else:
-                x, sr = read_wav(src)
+        jobs, datas = [], []
+        for src, dst in batch_jobs:
+            got = load_job(src)
+            if got is None:
+                continue
+            x, _ = got
+            if datas and x.shape[-1] != datas[0].shape[-1]:
+                emit({"input": src, "error":
+                      f"channel count {x.shape[-1]} != batch's "
+                      f"{datas[0].shape[-1]}"})
+                continue
+            jobs.append((src, dst))
             datas.append(x)
-            srs.append(sr)
+        if not datas:
+            return
         lens = [len(x) for x in datas]
-        padded = -(-max(lens) // hop) * hop
+        padded = -(-max(lens) // t_unit) * t_unit
         i16 = all(d.dtype == np.int16 for d in datas)
-        batch = np.zeros((len(datas), padded, datas[0].shape[-1]),
+        batch = np.zeros((args.batch_size, padded, datas[0].shape[-1]),
                          np.int16 if i16 else np.float32)
         for row, x in enumerate(datas):
-            batch[row, :lens[row]] = x if i16 else x.astype(np.float32)
+            if i16 or x.dtype != np.int16:
+                batch[row, :lens[row]] = x
+            else:
+                # mixed batch: int16 rows need the same /32768
+                # normalization the device applies to an all-int16 batch
+                batch[row, :lens[row]] = x.astype(np.float32) / 32768.0
         t0 = time.perf_counter()
         idx, y = transcoder(batch)
         y_np = np.asarray(y)
         dt = time.perf_counter() - t0
-        for row, ((src, dst), sr) in enumerate(zip(batch_jobs, srs)):
+        for row, (src, dst) in enumerate(jobs):
             base = os.path.splitext(os.path.basename(src))[0]
             out = dst or os.path.join(args.outdir, f"{base}_output.wav")
-            write_wav(out, y_np[row, :lens[row]], sr)
-            print(json.dumps({"input": src, "output": out,
-                              "seconds": lens[row] / sr,
-                              "batch_rtf": round(
-                                  sum(lens) / sr_expect / dt, 1)}),
-                  flush=True)
+            write_wav(out, y_np[row, :lens[row]], sr_expect)
+            emit({"input": src, "output": out,
+                  "seconds": lens[row] / sr_expect,
+                  "batch_rtf": round(sum(lens) / sr_expect / dt, 1)})
 
     jobs = (iter_watch_jobs(args.watch, args.poll) if args.watch
-            else iter_stdin_jobs())
+            else iter_stdin_jobs(args.linger))
     pending = []
     deadline = None
     for job in jobs:
@@ -168,10 +254,12 @@ def main(argv=None):
                 deadline = time.monotonic() + args.linger
         if pending and (len(pending) >= args.batch_size
                         or time.monotonic() > deadline):
-            flush(pending)
-            pending, deadline = [], None
-    if pending:
-        flush(pending)
+            flush(pending[:args.batch_size])
+            pending = pending[args.batch_size:]
+            deadline = (time.monotonic() + args.linger) if pending else None
+    while pending:
+        flush(pending[:args.batch_size])
+        pending = pending[args.batch_size:]
 
 
 if __name__ == "__main__":

@@ -254,6 +254,91 @@ def test_codec_serve_stdin(workdir, monkeypatch, capsys):
             assert a.read() == b.read()
 
 
+def _write_float_wav(path, x, sr):
+    """Minimal IEEE-float32 (format tag 3) WAV writer for test inputs."""
+    import struct
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    payload = x.astype("<f4").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, ch, sr,
+                                      sr * ch * 4, ch * 4, 32))
+        f.write(b"data" + struct.pack("<I", len(payload)))
+        f.write(payload)
+
+
+def test_codec_serve_robustness(workdir, monkeypatch, capsys):
+    """codec_serve survives bad inputs (JSON error lines, no crash),
+    normalizes PCM16 rows inside a mixed PCM16/float batch, and rejects
+    wrong-sample-rate / mismatched-channel files."""
+    import io
+    import sys as _sys
+    from audiodec_tpu.data import read_wav
+
+    root, cfg_path = workdir
+    final = os.path.join(str(root / "exp" / "tiny"), "checkpoint-final.ckpt")
+    ct_out = str(root / "out")
+    if not os.path.exists(final):  # standalone invocation
+        from audiodec_tpu.bin import codec_train
+        codec_train.main(["--config", cfg_path,
+                          "--tag", str(root / "exp" / "tiny")])
+    if not os.path.isdir(ct_out):
+        from audiodec_tpu.bin import codec_test
+        codec_test.main(["--encoder", final, "--decoder", final,
+                         "--subset", "test", "--outdir", ct_out,
+                         "--batch-size", "2"])
+
+    src_i16 = str(root / "corpus" / "test" / "test0.wav")
+    src_mono2 = str(root / "corpus" / "test" / "test1.wav")
+    x, _ = read_wav(src_i16)
+    f32_wav = str(root / "serve_f32.wav")
+    _write_float_wav(f32_wav, x, 48000)  # float row next to a PCM16 row
+    bad_sr = str(root / "serve_badsr.wav")
+    write_wav(bad_sr, x, 16000)
+    garbage = str(root / "serve_garbage.wav")
+    with open(garbage, "wb") as f:
+        f.write(b"definitely not a RIFF file")
+    missing = str(root / "serve_missing.wav")
+    stereo = str(root / "serve_stereo.wav")
+    write_wav(stereo, np.repeat(x, 2, axis=1), 48000)
+
+    # arrival order fixes the micro-batches (batch-size 2):
+    #   [i16, f32] mixed-dtype batch; [mono2, stereo] channel mismatch;
+    #   [bad_sr, garbage] all-error batch; [missing] final partial flush
+    feed = [src_i16, f32_wav, src_mono2, stereo, bad_sr, garbage, missing]
+    outdir = str(root / "serve_robust_out")
+    from audiodec_tpu.bin import codec_serve
+    capsys.readouterr()
+    monkeypatch.setattr(_sys, "stdin", io.StringIO("\n".join(feed) + "\n"))
+    codec_serve.main(["--encoder", final, "--decoder", final,
+                      "--outdir", outdir, "--stdin", "--dtype", "float32",
+                      "--warmup-seconds", "0", "--batch-size", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    by_input = {l["input"]: l for l in lines}
+    assert len(lines) == len(feed)
+
+    # errors reported per file, server kept going
+    assert "sample rate" in by_input[bad_sr]["error"]
+    assert "read failed" in by_input[garbage]["error"]
+    assert "read failed" in by_input[missing]["error"]
+    assert "channel count" in by_input[stereo]["error"]
+    for good in (src_i16, f32_wav, src_mono2):
+        assert "output" in by_input[good], by_input[good]
+
+    # the PCM16 row of the mixed batch was normalized: byte-identical to
+    # the codec_test output; the float row carries the same samples so it
+    # must match too
+    ref = open(os.path.join(ct_out, "test0_output.wav"), "rb").read()
+    a = open(os.path.join(outdir, "test0_output.wav"), "rb").read()
+    b = open(os.path.join(outdir, "serve_f32_output.wav"), "rb").read()
+    assert a == ref
+    assert b == ref
+
+
 def test_codec_serve_watch(workdir):
     """codec_serve --watch: files dropped into a directory are transcoded;
     the .stop marker shuts the server down cleanly."""
