@@ -241,23 +241,75 @@ def encoder_state_init(batch: int, cfg: GeneratorConfig, dtype=jnp.float32):
 # projector (ref: models/autoencoder/modules/projector.py:20-54)
 # ---------------------------------------------------------------------------
 
+_BN_EPS = 1e-5      # torch.nn.BatchNorm1d defaults
+_BN_MOMENTUM = 0.1
+
+
 def projector_init(key, cfg: GeneratorConfig) -> dict:
-    if cfg.projector != "conv1d":
-        # 'conv1d_bn' exists in the reference but no shipped config uses it
-        # (ref: projector.py:39-47)
+    if cfg.projector not in ("conv1d", "conv1d_bn"):
         raise NotImplementedError(
             f"Projector ({cfg.projector}) is not supported!")
-    return {"conv": conv1d_init(key, 3, cfg.enc_out_channels, cfg.code_dim,
-                                bias=False)}
+    p = {"conv": conv1d_init(key, 3, cfg.enc_out_channels, cfg.code_dim,
+                             bias=False)}
+    if cfg.projector == "conv1d_bn":
+        # BatchNorm1d(code_dim) after the conv (ref: projector.py:39-47).
+        # scale/bias are optimizer-trained; mean/var/count are running
+        # buffers overwritten from the forward's aux output, exactly like
+        # the quantizer EMA buffers (never optimizer-driven).
+        d = cfg.code_dim
+        p["bn"] = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,)),
+                   "mean": jnp.zeros((d,)), "var": jnp.ones((d,)),
+                   "count": jnp.zeros((), jnp.float32)}
+    return p
 
 
-def projector_apply(p, x, cfg: GeneratorConfig, state=None):
-    if cfg.mode == "causal":
-        if state is None:
-            return causal_conv1d(x, p["conv"])
+def _bn_apply(bn, z, *, train: bool):
+    """torch BatchNorm1d semantics on (B, T, C): normalize per channel over
+    (B, T); training uses biased batch stats for normalization and updates
+    running stats with the unbiased variance (momentum 0.1, eps 1e-5)."""
+    if not train:
+        zn = (z - bn["mean"]) * jax.lax.rsqrt(bn["var"] + _BN_EPS)
+        return zn * bn["scale"] + bn["bias"], bn
+    n = z.shape[0] * z.shape[1]
+    mean_b = jnp.mean(z, axis=(0, 1))
+    var_b = jnp.mean(jnp.square(z - mean_b), axis=(0, 1))
+    zn = (z - mean_b) * jax.lax.rsqrt(var_b + _BN_EPS)
+    var_unbiased = var_b * (n / max(n - 1, 1))
+    m = _BN_MOMENTUM
+    new = dict(bn,
+               mean=(1 - m) * bn["mean"] + m * mean_b,
+               var=(1 - m) * bn["var"] + m * var_unbiased,
+               count=bn["count"] + 1)
+    return zn * bn["scale"] + bn["bias"], new
+
+
+def projector_apply(p, x, cfg: GeneratorConfig, state=None, *,
+                    train: bool = False):
+    """conv1d variant: returns z (or (z, state) when streaming).
+
+    With train=True the batch path returns (z, new_bn_buffers | None) —
+    batch-stat BN plus updated running stats for the conv1d_bn variant
+    (None for plain conv1d).  With train=False BN uses the running stats
+    and the return is plain z.  The streaming path always applies eval-mode
+    BN (the reference's own streaming path for this variant is broken —
+    nn.Sequential has no .inference, ref projector.py:52-54 — so eval-BN is
+    our defined semantics)."""
+    if cfg.mode == "causal" and state is not None:
         z, s = causal_conv1d(x, p["conv"], state=state["conv"])
+        if cfg.projector == "conv1d_bn":
+            z, _ = _bn_apply(p["bn"], z, train=False)
         return z, {"conv": s}
-    return noncausal_conv1d(x, p["conv"])
+    if cfg.mode == "causal":
+        z = causal_conv1d(x, p["conv"])
+    else:
+        z = noncausal_conv1d(x, p["conv"])
+    if cfg.projector == "conv1d_bn":
+        z, new_bn = _bn_apply(p["bn"], z, train=train)
+    else:
+        new_bn = None
+    if train:
+        return z, new_bn
+    return z
 
 
 def projector_state_init(batch: int, cfg: GeneratorConfig, dtype=jnp.float32):
@@ -398,18 +450,52 @@ def _channel_fold(x, input_channels: int):
 
 
 def generator_forward(params, x, cfg: GeneratorConfig, *, train: bool = False,
+                      bn_train: Optional[bool] = None,
                       axis_name: Optional[str] = None):
     """Full train/eval forward (ref: AudioDec.py:112-120).
 
-    x: (B, T, C).  Returns (y, zq, z, vqloss, perplexity, new_quantizer).
+    x: (B, T, C).  Returns (y, zq, z, vqloss, perplexity, new_buffers) where
+    new_buffers = {"quantizer": EMA-updated codebooks[, "projector_bn":
+    updated BN running stats {mean, var, count}]} — the non-optimizer
+    buffers train steps merge back into the param tree (see
+    merge_forward_buffers).
+
+    bn_train decouples BatchNorm mode from codebook EMA mode: in the
+    reference's adversarial/denoise phases the frozen projector's BN stays
+    in train() mode (batch stats + running updates) while the codebook is
+    eval (ref: trainer/autoencoder.py:66-79 freezes via requires_grad, not
+    .eval()).  Defaults to `train`.
     """
+    bn_train = train if bn_train is None else bn_train
     x = _channel_fold(x, cfg.input_channels)
     h = encoder_apply(params["encoder"], x, cfg)
-    z = projector_apply(params["projector"], h, cfg)
+    if bn_train:
+        z, new_bn = projector_apply(params["projector"], h, cfg, train=True)
+    else:
+        z = projector_apply(params["projector"], h, cfg)
+        new_bn = None
     zq, vqloss, ppl, new_q = rvq_forward(z, params["quantizer"], train=train,
                                          axis_name=axis_name)
     y = decoder_apply(params["decoder"], zq, cfg)
-    return y, zq, z, vqloss, ppl, new_q
+    new_buffers = {"quantizer": new_q}
+    if new_bn is not None:
+        new_buffers["projector_bn"] = {k: new_bn[k]
+                                       for k in ("mean", "var", "count")}
+    return y, zq, z, vqloss, ppl, new_buffers
+
+
+def merge_forward_buffers(gen_params: dict, new_buffers: dict) -> dict:
+    """Overwrite the non-optimizer buffers (quantizer EMA codebooks, BN
+    running stats) that generator_forward returns into a param tree that has
+    just been optimizer-updated.  Overwrites, never accumulates — these
+    buffers are owned by the forward pass (ref: layers/vq_module.py:74-80;
+    torch BN running-stat semantics)."""
+    out = dict(gen_params, quantizer=new_buffers["quantizer"])
+    if "projector_bn" in new_buffers:
+        out["projector"] = dict(
+            out["projector"],
+            bn=dict(out["projector"]["bn"], **new_buffers["projector_bn"]))
+    return out
 
 
 def generator_encode(params, x, cfg: GeneratorConfig, state=None):

@@ -30,6 +30,7 @@ from audiodec_tpu.models.autoencoder import (
     decoder_apply,
     encoder_apply,
     generator_forward,
+    merge_forward_buffers,
     projector_apply,
 )
 from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_apply
@@ -99,32 +100,35 @@ def make_autoencoder_steps(gen_cfg: GeneratorConfig, disc_apply: Callable,
     def gen_loss_metric(gen_params, x):
         record = {}
         eff, _ = resolve_params(gen_params)
-        y, zq, z, vql, ppl, new_q = generator_forward(
+        y, zq, z, vql, ppl, new_buf = generator_forward(
             eff, x, gen_cfg, train=True, axis_name=axis_name)
         _ppl_record(record, ppl)
         loss = C.vq_loss(config, vql, record)
         loss = loss + C.metric_loss(crit, config, y, x, record)
         record["generator_loss"] = loss
-        return loss, (record, new_q)
+        return loss, (record, new_buf)
 
     def metric_step(state, x):
-        (loss, (record, new_q)), grads = jax.value_and_grad(
+        (loss, (record, new_buf)), grads = jax.value_and_grad(
             gen_loss_metric, has_aux=True)(state["gen"], x)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, gen_opt_state = gen_opt.update(grads, state["gen_opt"],
                                                 state["gen"])
         gen = optax.apply_updates(state["gen"], updates)
-        gen["quantizer"] = new_q  # EMA buffers, not optimizer-driven
+        # EMA codebooks + BN running stats, not optimizer-driven
+        gen = merge_forward_buffers(gen, new_buf)
         new_state = dict(state, gen=gen, gen_opt=gen_opt_state)
         return new_state, _psum_mean(record, axis_name)
 
     def gen_loss_adv(gen_params, disc_params, x):
         record = {}
         eff, _ = resolve_params(gen_params)
-        # efficient paradigm: codebook eval (no EMA), encoder frozen
-        y, zq, z, vql, ppl, _ = generator_forward(eff, x, gen_cfg,
-                                                  train=False)
+        # efficient paradigm: codebook eval (no EMA), encoder frozen; a BN
+        # projector still runs in train mode (the reference freezes via
+        # requires_grad only, ref autoencoder.py:66-79)
+        y, zq, z, vql, ppl, new_buf = generator_forward(
+            eff, x, gen_cfg, train=False, bn_train=True)
         _ppl_record(record, ppl)
         loss = C.vq_loss(config, vql, record)
         loss = loss + C.metric_loss(crit, config, y, x, record)
@@ -134,12 +138,12 @@ def make_autoencoder_steps(gen_cfg: GeneratorConfig, disc_apply: Callable,
              if "feat_match" in crit else None)
         loss = loss + C.adv_loss(crit, config, p_hat, p, record)
         record["generator_loss"] = loss
-        return loss, (record, y)
+        return loss, (record, y, new_buf)
 
     frozen = ("encoder", "projector", "quantizer")
 
     def adv_step(state, x):
-        (loss, (record, y)), grads = jax.value_and_grad(
+        (loss, (record, y, new_buf)), grads = jax.value_and_grad(
             gen_loss_adv, has_aux=True)(state["gen"], state["disc"], x)
         grads = _zero_subtrees(grads, frozen)
         if axis_name is not None:
@@ -148,11 +152,15 @@ def make_autoencoder_steps(gen_cfg: GeneratorConfig, disc_apply: Callable,
                                                 state["gen"])
         updates = _zero_subtrees(updates, frozen)
         gen = optax.apply_updates(state["gen"], updates)
+        gen = merge_forward_buffers(gen, new_buf)
 
-        # discriminator update on re-computed y_ (ref autoencoder.py:117-126)
+        # discriminator update on re-computed y_ (ref autoencoder.py:117-126;
+        # torch no_grad does not stop BN buffer updates, so a BN projector's
+        # running stats advance a second time here)
         gen_eff, _ = resolve_params(gen)
-        y_, _, _, _, _, _ = generator_forward(gen_eff, x, gen_cfg,
-                                              train=False)
+        y_, _, _, _, _, buf2 = generator_forward(gen_eff, x, gen_cfg,
+                                                 train=False, bn_train=True)
+        gen = merge_forward_buffers(gen, buf2)
         y_ = jax.lax.stop_gradient(y_)
 
         def disc_loss_fn(disc_params):
@@ -293,19 +301,22 @@ def make_denoise_steps(gen_cfg: GeneratorConfig, config: dict, crit: dict,
     quantizer + decoder frozen, codebook EMA stopped."""
     frozen = ("quantizer", "decoder")
 
-    def loss_fn(gen_params, x_n, x_c):
+    def loss_fn(gen_params, x_n, x_c, *, bn_train=True):
         record = {}
         eff, _ = resolve_params(gen_params)
-        y, zq, z, vql, ppl, _ = generator_forward(eff, x_n, gen_cfg,
-                                                  train=False)
+        # codebook eval (ref denoise.py:60), but the model stays in train
+        # mode so a BN projector uses batch stats (ref freezes via
+        # requires_grad only)
+        y, zq, z, vql, ppl, new_buf = generator_forward(
+            eff, x_n, gen_cfg, train=False, bn_train=bn_train)
         _ppl_record(record, ppl)
         loss = C.vq_loss(config, vql, record)
         loss = loss + C.metric_loss(crit, config, y, x_c, record)
         record["generator_loss"] = loss
-        return loss, record
+        return loss, (record, new_buf)
 
     def train_step(state, x_n, x_c):
-        (loss, record), grads = jax.value_and_grad(
+        (loss, (record, new_buf)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["gen"], x_n, x_c)
         grads = _zero_subtrees(grads, frozen)
         if axis_name is not None:
@@ -314,11 +325,12 @@ def make_denoise_steps(gen_cfg: GeneratorConfig, config: dict, crit: dict,
                                                 state["gen"])
         updates = _zero_subtrees(updates, frozen)
         gen = optax.apply_updates(state["gen"], updates)
+        gen = merge_forward_buffers(gen, new_buf)
         return (dict(state, gen=gen, gen_opt=gen_opt_state),
                 _psum_mean(record, axis_name))
 
     def eval_step(state, x_n, x_c):
-        _, record = loss_fn(state["gen"], x_n, x_c)
+        _, (record, _) = loss_fn(state["gen"], x_n, x_c, bn_train=False)
         return _psum_mean(record, axis_name)
 
     if jit:

@@ -88,7 +88,27 @@ def import_autoencoder(sd: Dict[str, np.ndarray], cfg) -> dict:
             "conv": _conv(sd, f"{pre}.conv.conv"),
         })
 
-    proj = {"conv": _conv(sd, "projector.project.conv")}
+    if "projector.project.conv.weight" in sd:
+        proj = {"conv": _conv(sd, "projector.project.conv")}
+    else:
+        # conv1d_bn variant: Sequential(CausalConv1d, BatchNorm1d)
+        # (ref: projector.py:39-47)
+        proj = {
+            "conv": _conv(sd, "projector.project.0.conv"),
+            "bn": {
+                "scale": jnp.asarray(sd["projector.project.1.weight"],
+                                     jnp.float32),
+                "bias": jnp.asarray(sd["projector.project.1.bias"],
+                                    jnp.float32),
+                "mean": jnp.asarray(sd["projector.project.1.running_mean"],
+                                    jnp.float32),
+                "var": jnp.asarray(sd["projector.project.1.running_var"],
+                                   jnp.float32),
+                "count": jnp.asarray(
+                    sd["projector.project.1.num_batches_tracked"],
+                    jnp.float32),
+            },
+        }
 
     embeds, cluster, avg = [], [], []
     for q in range(cfg.codebook_num):
@@ -190,6 +210,44 @@ def import_hifigan_discriminator(sd: Dict[str, np.ndarray], cfg) -> dict:
             "output_conv": _conv2d(sd, f"{pre}.output_conv.conv"),
         })
     return {"msd": msd, "mpd": mpd}
+
+
+def import_univnet_mrsd(sd: Dict[str, np.ndarray], cfg,
+                        prefix: str = "") -> dict:
+    """Reference UnivNetMultiResolutionSpectralDiscriminator state_dict ->
+    params pytree (ref: discriminator.py:585-640).  cfg:
+    MultiResolutionSpectralConfig.  `prefix` is 'mrsd.' when importing from
+    the combined UnivNet Discriminator (ref: UnivNet.py:52-57)."""
+    sd = fold_weight_norm(sd)
+    n_layers = len(cfg.discriminator.layer_shapes())
+    out = {"discriminators": []}
+    for i in range(len(cfg.fft_sizes)):
+        layers = []
+        for j in range(n_layers):
+            pre = f"{prefix}discriminators.{i}.layers.{j}"
+            # intermediate layers are Sequential(conv2d, act) -> '.0.conv'
+            key = pre + (".conv" if j == n_layers - 1 else ".0.conv")
+            layers.append(_conv2d(sd, key))
+        out["discriminators"].append({"layers": layers})
+    return out
+
+
+def import_univnet_discriminator(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Reference UnivNet MRSD+MPD Discriminator state_dict -> params pytree.
+    cfg: UnivNetDiscriminatorConfig."""
+    sd = fold_weight_norm(sd)
+    mrsd = import_univnet_mrsd(sd, cfg.mrsd, prefix="mrsd.")
+    mpd = {"discriminators": []}
+    n_period_layers = len(cfg.mpd.discriminator.layer_shapes())
+    for i in range(len(cfg.mpd.periods)):
+        pre = f"mpd.discriminators.{i}"
+        layers = [_conv2d(sd, f"{pre}.convs.{j}.0.conv")
+                  for j in range(n_period_layers)]
+        mpd["discriminators"].append({
+            "layers": layers,
+            "output_conv": _conv2d(sd, f"{pre}.output_conv.conv"),
+        })
+    return {"mrsd": mrsd, "mpd": mpd}
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -103,3 +103,32 @@ def test_univnet_discriminator_runs():
     outs = univnet_discriminator_apply(eff, x, cfg)
     assert len(outs) == 2 + 5
     assert all(np.isfinite(np.asarray(t)).all() for o in outs for t in o)
+
+
+def test_univnet_mrsd_golden_parity():
+    """MRSD vs the reference's own forward (golden dumped with a faithful
+    torchaudio.functional.spectrogram substitute, ref discriminator.py:
+    451-640)."""
+    import dataclasses
+
+    from audiodec_tpu.models.discriminators import (
+        SpectralDiscriminatorConfig, mrsd_apply)
+    from audiodec_tpu.utils.torch_import import import_univnet_mrsd
+
+    data = np.load(os.path.join(GOLDEN, "disc_univnet.npz"))
+    cfg = MultiResolutionSpectralConfig(
+        discriminator=SpectralDiscriminatorConfig(channels=16))
+    sd = {k[len("sd__"):]: data[k] for k in data.files if k.startswith("sd__")}
+    params = import_univnet_mrsd(sd, cfg)
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+    outs = mrsd_apply(params, x, cfg)
+
+    assert len(outs) == int(data["n_branches"])
+    for i, branch in enumerate(outs):
+        assert len(branch) == int(data[f"n_layers_{i}"])
+        for j, t in enumerate(branch):
+            ref = data[f"out_{i}_{j}"]
+            # ours: (B, T', F, C) NHWC; torch: (B, C, T', F)
+            mine = np.asarray(t).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(mine, ref, rtol=1e-3, atol=1e-4,
+                                       err_msg=f"resolution {i} layer {j}")

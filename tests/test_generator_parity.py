@@ -135,3 +135,76 @@ def test_receptive_field_matches_reference_comment():
     """symAD hop300 receptive field is 7209 samples
     (ref: utils/audiodec.py:24)."""
     assert GeneratorConfig().receptive_field == 7209
+
+
+def test_conv1d_bn_projector_parity():
+    """conv1d_bn projector variant (ref: projector.py:39-47): eval forward
+    with running-stat BN, train forward with batch-stat BN, and the updated
+    BN running buffers + EMA codebooks after one train step."""
+    from audiodec_tpu.models.autoencoder import merge_forward_buffers
+
+    data = np.load(os.path.join(GOLDEN, "gen_symad_bn.npz"))
+    cfg = GeneratorConfig(
+        encode_channels=4, decode_channels=4, code_dim=16, codebook_num=4,
+        codebook_size=32, projector="conv1d_bn")
+    sd = {k[len("sd__"):]: data[k] for k in data.files if k.startswith("sd__")}
+    params = import_autoencoder(sd, cfg)
+    assert "bn" in params["projector"]
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+
+    # eval: running-stat BN
+    y, zq, z, vqloss, ppl, _ = generator_forward(params, x, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(z).transpose(0, 2, 1), data["z"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), data["y"],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vqloss), data["vqloss"], rtol=1e-3,
+                               atol=1e-5)
+
+    # train: batch-stat BN + running-stat update + codebook EMA
+    yt, zqt, zt, vqlt, pplt, new_buf = generator_forward(params, x, cfg,
+                                                         train=True)
+    np.testing.assert_allclose(np.asarray(zt).transpose(0, 2, 1),
+                               data["z_train"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yt).transpose(0, 2, 1),
+                               data["y_train"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vqlt), data["vqloss_train"],
+                               rtol=1e-3, atol=1e-5)
+
+    merged = merge_forward_buffers(params, new_buf)
+    bn = merged["projector"]["bn"]
+    np.testing.assert_allclose(np.asarray(bn["mean"]),
+                               data["sd1__projector.project.1.running_mean"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bn["var"]),
+                               data["sd1__projector.project.1.running_var"],
+                               rtol=1e-5, atol=1e-6)
+    assert int(np.asarray(bn["count"])) == int(
+        data["sd1__projector.project.1.num_batches_tracked"])
+    # EMA-updated codebooks match the post-step reference state dict
+    for q in range(cfg.codebook_num):
+        pre = f"sd1__quantizer.codebook.layers.{q}"
+        np.testing.assert_allclose(
+            np.asarray(merged["quantizer"]["embed"][q]),
+            data[pre + ".embed"].T, rtol=1e-4, atol=1e-5,
+            err_msg=f"codebook {q}")
+
+
+def test_conv1d_bn_streaming_runs():
+    """Streaming path applies eval-BN (the reference's own streaming path
+    for this variant is broken: nn.Sequential has no .inference)."""
+    data = np.load(os.path.join(GOLDEN, "gen_symad_bn.npz"))
+    cfg = GeneratorConfig(
+        encode_channels=4, decode_channels=4, code_dim=16, codebook_num=4,
+        codebook_size=32, projector="conv1d_bn")
+    sd = {k[len("sd__"):]: data[k] for k in data.files if k.startswith("sd__")}
+    params = import_autoencoder(sd, cfg)
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+    state = codec_state_init(2, cfg)
+    idx, _ = generator_encode(params, x, cfg, state=state)
+    # batch-mode == streaming-from-zero-state for the causal encoder; BN is
+    # position-independent, so indices must agree with the batch train path's
+    # eval-BN quantization of z
+    _, idx_batch = rvq_forward_index(
+        jnp.asarray(data["z"].transpose(0, 2, 1)), params["quantizer"])
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_batch))

@@ -324,3 +324,38 @@ def test_vocoder_steps_run():
         np.asarray(state["analyzer"]["encoder"]["conv"]["w"]), an0)
     m3 = steps["eval"](state, x)
     assert np.isfinite(float(m3["generator_loss"]))
+
+
+def test_bn_projector_train_steps_update_running_stats():
+    """conv1d_bn variant through metric + adv steps: BN running stats are
+    buffer-driven (metric: 1 forward; adv: 2 forwards, ref
+    autoencoder.py:117-126 re-forward under no_grad still updates torch BN
+    buffers), and frozen in neither case optimizer-perturbed."""
+    cfg_bn = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                             codebook_num=2, codebook_size=16,
+                             projector="conv1d_bn")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    gen = generator_init(k1, cfg_bn)
+    disc = hifigan_discriminator_init(k2, DISC_CFG)
+    crit = build_criterion(CONFIG)
+    gen_opt = make_optimizer(CONFIG, "generator")
+    disc_opt = make_optimizer(CONFIG, "discriminator")
+    steps = make_autoencoder_steps(cfg_bn, disc_apply, CONFIG, crit,
+                                   gen_opt, disc_opt, jit=False)
+    state = {"gen": gen, "disc": disc,
+             "gen_opt": gen_opt.init(gen), "disc_opt": disc_opt.init(disc)}
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 1200, 1)).astype(np.float32))
+
+    state, rec = steps["metric"](state, x)
+    bn = state["gen"]["projector"]["bn"]
+    assert float(bn["count"]) == 1.0
+    assert np.any(np.asarray(bn["mean"]) != 0.0)
+    # running var moved toward the (small) batch var: 0.9*1 + 0.1*var_b < 1
+    assert np.all(np.asarray(bn["var"]) < 1.0)
+
+    state, rec = steps["adv"](state, x)
+    bn2 = state["gen"]["projector"]["bn"]
+    # two forwards in the adv step (gen loss + disc re-forward)
+    assert float(bn2["count"]) == 3.0
+    assert np.isfinite(rec["generator_loss"])
