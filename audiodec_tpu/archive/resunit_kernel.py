@@ -128,8 +128,4 @@ def fused_residual_stack(x, unit_params: Tuple, *,
     return out.reshape(b, t, c)
 
 
-def res_stack_params(block_params: dict) -> Tuple:
-    """Extract ((w1, w2), ...) from an encoder/decoder block's 'res' list
-    (models.autoencoder param tree)."""
-    return tuple((u["conv1"]["w"], u["conv2"]["w"])
-                 for u in block_params["res"])
+from audiodec_tpu.ops.pallas.folded_stack import res_stack_params  # noqa: F401,E402

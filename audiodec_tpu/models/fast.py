@@ -17,56 +17,10 @@ import jax.numpy as jnp
 
 from audiodec_tpu.models.autoencoder import GeneratorConfig, _res_unit_apply
 from audiodec_tpu.ops.conv import causal_conv1d, causal_conv_transpose1d
-from audiodec_tpu.ops.pallas.folded_stack import folded_residual_stack
-from audiodec_tpu.ops.pallas.resunit_kernel import (
-    fused_residual_stack,
+from audiodec_tpu.ops.pallas.folded_stack import (
+    folded_residual_stack,
     res_stack_params,
 )
-
-
-def _stack(x, block_params, cfg: GeneratorConfig, tile_t: int,
-           interpret: bool):
-    # scale the time tile inversely with channel width so the kernel's VMEM
-    # working set (~a dozen live (tile, C) f32 tensors from the unrolled tap
-    # matmuls, plus weights) stays under the scoped-vmem limit
-    c = x.shape[-1]
-    tile_eff = max(128, min(tile_t, 65536 // max(c, 1)))
-    return fused_residual_stack(
-        x, res_stack_params(block_params),
-        dilations=tuple(cfg.res_dilations),
-        kernel_size=cfg.res_kernel_size,
-        tile_t=tile_eff, interpret=interpret)
-
-
-def encoder_apply_blocked(p, x, cfg: GeneratorConfig):
-    """Batch causal encoder with block-packed (lane-filling) residual stacks
-    — pure XLA, no Pallas.  x: (B, T, C)."""
-    from audiodec_tpu.ops.blocked import blocked_res_stack
-
-    assert cfg.mode == "causal" and cfg.codec == "audiodec"
-    act = cfg.act
-    x = causal_conv1d(x, p["conv"])
-    for i, stride in enumerate(cfg.enc_strides):
-        bp = p["blocks"][i]
-        x = blocked_res_stack(x, bp["res"],
-                              dilations=tuple(cfg.res_dilations), act=act)
-        x = causal_conv1d(x, bp["conv"], stride=stride)
-    return x
-
-
-def decoder_apply_blocked(p, z, cfg: GeneratorConfig):
-    """Batch causal decoder with block-packed residual stacks."""
-    from audiodec_tpu.ops.blocked import blocked_res_stack
-
-    assert cfg.mode == "causal" and cfg.codec == "audiodec"
-    act = cfg.act
-    x = causal_conv1d(z, p["conv1"])
-    for i, stride in enumerate(cfg.dec_strides):
-        bp = p["blocks"][i]
-        x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
-        x = blocked_res_stack(x, bp["res"],
-                              dilations=tuple(cfg.res_dilations), act=act)
-    return causal_conv1d(x, p["conv2"])
 
 
 def _use_folded(c: int, t: int, cfg: GeneratorConfig) -> bool:
@@ -119,30 +73,6 @@ def decoder_apply_folded(p, z, cfg: GeneratorConfig, interpret=None):
         bp = p["blocks"][i]
         x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
         x = res_stack_auto(x, bp, cfg, interpret)
-    return causal_conv1d(x, p["conv2"])
-
-
-def encoder_apply_fused(p, x, cfg: GeneratorConfig, tile_t: int = 1024,
-                        interpret: bool = False):
-    """Batch causal encoder with fused residual stacks.  x: (B, T, C)."""
-    assert cfg.mode == "causal" and cfg.codec == "audiodec"
-    x = causal_conv1d(x, p["conv"])
-    for i, stride in enumerate(cfg.enc_strides):
-        bp = p["blocks"][i]
-        x = _stack(x, bp, cfg, tile_t, interpret)
-        x = causal_conv1d(x, bp["conv"], stride=stride)
-    return x
-
-
-def decoder_apply_fused(p, z, cfg: GeneratorConfig, tile_t: int = 1024,
-                        interpret: bool = False):
-    """Batch causal decoder with fused residual stacks.  z: (B, T', D)."""
-    assert cfg.mode == "causal" and cfg.codec == "audiodec"
-    x = causal_conv1d(z, p["conv1"])
-    for i, stride in enumerate(cfg.dec_strides):
-        bp = p["blocks"][i]
-        x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
-        x = _stack(x, bp, cfg, tile_t, interpret)
     return causal_conv1d(x, p["conv2"])
 
 

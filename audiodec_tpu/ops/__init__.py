@@ -29,8 +29,3 @@ from audiodec_tpu.ops.norms import (
     resolve_params,
     apply_weight_norm_tree,
 )
-from audiodec_tpu.ops.blocked import (
-    blocked_causal_conv1d,
-    blocked_res_stack,
-    pack_weights,
-)

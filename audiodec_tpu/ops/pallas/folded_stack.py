@@ -98,6 +98,13 @@ def _pick_tile(n_rows: int, target: int) -> int:
     return n_rows
 
 
+def res_stack_params(block_params: dict) -> Tuple:
+    """Extract ((w1, w2), ...) from an encoder/decoder block's 'res' list
+    (models.autoencoder param tree)."""
+    return tuple((u["conv1"]["w"], u["conv2"]["w"])
+                 for u in block_params["res"])
+
+
 @partial(jax.jit, static_argnames=("dilations", "kernel_size",
                                    "kernel_size2", "act", "act_param",
                                    "tile_rows", "bf16_dots", "fold",

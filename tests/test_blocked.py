@@ -11,7 +11,7 @@ from audiodec_tpu.models.autoencoder import (
     _res_unit_apply,
     _res_unit_init,
 )
-from audiodec_tpu.ops.blocked import (
+from audiodec_tpu.archive.blocked import (
     block_time,
     blocked_causal_conv1d,
     blocked_res_stack,

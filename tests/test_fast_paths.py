@@ -11,7 +11,7 @@ from audiodec_tpu.models.autoencoder import (
     encoder_apply,
     generator_init,
 )
-from audiodec_tpu.models.fast import (
+from audiodec_tpu.archive.fast_experiments import (
     decoder_apply_blocked,
     decoder_apply_fused,
     encoder_apply_blocked,

@@ -12,7 +12,7 @@ from audiodec_tpu.models.autoencoder import (
     _res_unit_apply,
     _res_unit_init,
 )
-from audiodec_tpu.ops.pallas.resunit_kernel import (
+from audiodec_tpu.archive.resunit_kernel import (
     fused_residual_stack,
     res_stack_params,
 )

@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from audiodec_tpu.ops.pallas.vq_kernel import rvq_encode_pallas
+from audiodec_tpu.archive.vq_kernel import rvq_encode_pallas
 from audiodec_tpu.ops.vq import rvq_forward_index, rvq_init
 
 

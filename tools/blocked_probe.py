@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from audiodec_tpu.models.autoencoder import (
     GeneratorConfig, generator_init, encoder_apply, projector_apply,
     decoder_apply)
-from audiodec_tpu.models.fast import (
+from audiodec_tpu.archive.fast_experiments import (
     decoder_apply_blocked, encoder_apply_blocked)
 from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
 

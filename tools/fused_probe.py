@@ -12,9 +12,9 @@ import jax.numpy as jnp
 from audiodec_tpu.models.autoencoder import (
     GeneratorConfig, generator_init, encoder_apply, projector_apply,
     decoder_apply)
-from audiodec_tpu.models.fast import decoder_apply_fused, encoder_apply_fused
+from audiodec_tpu.archive.fast_experiments import decoder_apply_fused, encoder_apply_fused
 from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
-from audiodec_tpu.ops.pallas.vq_kernel import rvq_encode_pallas
+from audiodec_tpu.archive.vq_kernel import rvq_encode_pallas
 
 cfg = GeneratorConfig()
 params = generator_init(jax.random.PRNGKey(0), cfg)
