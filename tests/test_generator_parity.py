@@ -32,6 +32,7 @@ CFGS = {
         encode_channels=4, decode_channels=4, code_dim=16, codebook_num=4,
         codebook_size=32),
     "gen_symad": GeneratorConfig(),
+    "gen_symad_trained": GeneratorConfig(),
     "gen_symaad": GeneratorConfig(
         encode_channels=4, decode_channels=4, code_dim=16, codebook_num=4,
         codebook_size=32, codec="activate_audiodec"),
@@ -63,7 +64,8 @@ def test_forward_parity(name):
     np.testing.assert_allclose(np.asarray(ppl), data["perplexity"], rtol=1e-3)
 
 
-@pytest.mark.parametrize("name", ["gen_small", "gen_symad"])
+@pytest.mark.parametrize("name", ["gen_small", "gen_symad",
+                                  "gen_symad_trained"])
 def test_streaming_parity_bit_exact_indices(name):
     """Streaming encode -> indices must be bit-exact vs the reference
     (BASELINE.json north star)."""
@@ -208,3 +210,34 @@ def test_conv1d_bn_streaming_runs():
     _, idx_batch = rvq_forward_index(
         jnp.asarray(data["z"].transpose(0, 2, 1)), params["quantizer"])
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_batch))
+
+
+def test_trained_weights_forward_and_snr():
+    """End-to-end trained-weights parity: the golden was produced by the
+    reference's OWN trainer (3000 metric + 100 adv steps via
+    tools/ref_train.py driving /root/reference/codecTrain.py, ref
+    trainer/autoencoder.py), then dumped on held-out audio by
+    tools/dump_trained_golden.py.  Pins forward parity and decode SNR vs
+    the torch decode on trained (realistic-margin) codebooks; bit-exact
+    indices are pinned by test_streaming_parity_bit_exact_indices."""
+    data, cfg, params = load_case("gen_symad_trained")
+    assert int(data["trained_steps"]) >= 3000
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+    y, zq, z, vqloss, ppl, _ = generator_forward(params, x, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(z).transpose(0, 2, 1), data["z"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), data["y"],
+                               rtol=1e-3, atol=1e-4)
+
+    # decoded-SNR vs the reference decode (BASELINE.json north star):
+    # our waveform must be indistinguishable from torch's decode
+    ref = data["y_stream"][0, 0]
+    state = codec_state_init(1, cfg)
+    idx, st = generator_encode(params, x, cfg, state=state)
+    ours, _ = generator_decode(params, idx, cfg,
+                               state={"decoder": st.get("decoder",
+                                                        state["decoder"])})
+    ours = np.asarray(ours)[0, :, 0]
+    err = ours - ref
+    snr_db = 10 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-30))
+    assert snr_db > 50.0, f"SNR vs torch decode too low: {snr_db:.1f} dB"
