@@ -66,6 +66,19 @@ class ScaleDiscriminatorConfig:
 
 def scale_discriminator_init(key, cfg: ScaleDiscriminatorConfig,
                              use_spectral_norm: bool = False) -> dict:
+    """Plain (un-reparametrized) conv params.
+
+    Reference quirk reproduced deliberately: HiFiGANScaleDiscriminator's
+    apply_weight_norm / apply_spectral_norm test `isinstance(m, nn.Conv2d)`
+    but the scale discriminator is built from Conv1d layers, so NO norm is
+    ever applied to any scale discriminator — including the
+    follow_official_norm "spectral norm on scale 0", which is a silent
+    no-op upstream (ref: discriminator.py:355-373, 420-428).  Training
+    therefore optimizes the raw conv weights, and train-step parity
+    (tests/test_train_step_parity.py) requires the same parameterization
+    here.  use_spectral_norm is accepted for API compatibility and applies
+    a REAL spectral norm if explicitly requested by non-reference configs.
+    """
     shapes = cfg.layer_shapes()
     keys = jax.random.split(key, 2 * len(shapes))
     layers = []
@@ -74,8 +87,6 @@ def scale_discriminator_init(key, cfg: ScaleDiscriminatorConfig,
                         scale=0.1)
         if use_spectral_norm:
             p = spectral_norm_params(keys[2 * i + 1], p)
-        else:
-            p = weight_norm_params(p)
         layers.append(p)
     return {"layers": layers}
 
@@ -116,12 +127,13 @@ class MultiScaleConfig:
 
 
 def msd_init(key, cfg: MultiScaleConfig) -> dict:
+    # follow_official_norm intentionally does NOT reparametrize: the
+    # reference's norm application is a Conv2d-isinstance no-op on these
+    # Conv1d stacks (see scale_discriminator_init docstring)
     keys = jax.random.split(key, cfg.scales)
     discs = []
     for i in range(cfg.scales):
-        spectral = cfg.follow_official_norm and i == 0
-        discs.append(scale_discriminator_init(keys[i], cfg.discriminator,
-                                              use_spectral_norm=spectral))
+        discs.append(scale_discriminator_init(keys[i], cfg.discriminator))
     return {"discriminators": discs}
 
 

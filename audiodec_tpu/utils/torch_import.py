@@ -185,9 +185,55 @@ def import_vocoder(sd: Dict[str, np.ndarray], cfg) -> dict:
     return p
 
 
-def import_hifigan_discriminator(sd: Dict[str, np.ndarray], cfg) -> dict:
-    """Reference HiFiGAN MSD+MPD Discriminator state_dict -> params pytree
-    (plain weights; norms folded).  cfg: HiFiGANDiscriminatorConfig."""
+def _conv_wn(sd, prefix, ndim=3):
+    """Map a torch weight-normed conv (weight_g/weight_v, dim=0) onto our
+    {"v","g","b"} structure (ops/norms.py weight_norm_params layout): the
+    same (K..., I, O) transpose applied to both tensors, g broadcast with
+    the preserved output axis last."""
+    perm = (2, 1, 0) if ndim == 3 else (2, 3, 1, 0)
+    v = np.transpose(np.asarray(sd[prefix + ".weight_v"], np.float32), perm)
+    g = np.transpose(np.asarray(sd[prefix + ".weight_g"], np.float32), perm)
+    p = {"v": jnp.asarray(v), "g": jnp.asarray(g)}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[prefix + ".bias"], np.float32))
+    return p
+
+
+def import_hifigan_discriminator(sd: Dict[str, np.ndarray], cfg,
+                                 fold: bool = True) -> dict:
+    """Reference HiFiGAN MSD+MPD Discriminator state_dict -> params pytree.
+    cfg: HiFiGANDiscriminatorConfig.
+
+    fold=True (inference): plain weights, norms folded.
+    fold=False (training parity): keeps the weight-norm (g, v)
+    reparametrization so optimizer trajectories match torch, which trains
+    weight_g/weight_v as separate Adam parameters."""
+    if not fold:
+        # MSD convs are PLAIN in the reference (its norm application is a
+        # Conv2d-isinstance no-op on Conv1d stacks, ref discriminator.py:
+        # 355-373); only the Conv2d-based MPD is weight-normed.
+        msd = {"discriminators": []}
+        n_scale_layers = len(cfg.msd.discriminator.layer_shapes())
+        for i in range(cfg.msd.scales):
+            layers = []
+            for j in range(n_scale_layers):
+                pre = f"msd.discriminators.{i}.layers.{j}"
+                key = pre + (".conv" if j == n_scale_layers - 1
+                             else ".0.conv")
+                layers.append(_conv(sd, key))
+            msd["discriminators"].append({"layers": layers})
+        mpd = {"discriminators": []}
+        n_period_layers = len(cfg.mpd.discriminator.layer_shapes())
+        for i in range(len(cfg.mpd.periods)):
+            pre = f"mpd.discriminators.{i}"
+            layers = [_conv_wn(sd, f"{pre}.convs.{j}.0.conv", ndim=4)
+                      for j in range(n_period_layers)]
+            mpd["discriminators"].append({
+                "layers": layers,
+                "output_conv": _conv_wn(sd, f"{pre}.output_conv.conv",
+                                        ndim=4),
+            })
+        return {"msd": msd, "mpd": mpd}
     sd = fold_weight_norm(sd)
     msd = {"discriminators": []}
     n_scale_layers = len(cfg.msd.discriminator.layer_shapes())

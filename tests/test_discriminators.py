@@ -72,8 +72,13 @@ def test_fresh_discriminator_runs_and_resolves_norms():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
-def test_spectral_norm_unit_sigma():
-    """After resolution, spectral-normed weights have sigma ~= 1."""
+def test_msd_norms_are_reference_noops():
+    """Reference quirk: HiFiGANScaleDiscriminator's apply_weight_norm /
+    apply_spectral_norm test isinstance(m, nn.Conv2d) but the MSD is Conv1d,
+    so no norm is ever applied — even under follow_official_norm (ref:
+    discriminator.py:355-373).  Our MSD init must therefore produce PLAIN
+    conv params so the training trajectory matches torch
+    (tests/test_train_step_parity.py pins this through real backprop)."""
     cfg = HiFiGANDiscriminatorConfig(
         msd=MultiScaleConfig(
             follow_official_norm=True,
@@ -81,10 +86,24 @@ def test_spectral_norm_unit_sigma():
                 channels=16, max_downsample_channels=64)),
         mpd=DISC_CFG.mpd)
     params = hifigan_discriminator_init(jax.random.PRNGKey(1), cfg)
-    # run a few resolve iterations so the power iteration converges
+    for disc in params["msd"]["discriminators"]:
+        for layer in disc["layers"]:
+            assert set(layer) <= {"w", "b"}, layer.keys()
+    # MPD is Conv2d-based: its weight norm IS applied in the reference
+    assert "v" in params["mpd"]["discriminators"][0]["layers"][0]
+
+
+def test_spectral_norm_unit_sigma():
+    """After resolution, spectral-normed weights have sigma ~= 1 (the
+    machinery itself, used when a non-reference config requests it)."""
+    from audiodec_tpu.ops.conv import conv1d_init
+    from audiodec_tpu.ops.norms import spectral_norm_params
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    params = spectral_norm_params(k2, conv1d_init(k1, 15, 1, 16))
     for _ in range(50):
         eff, params = resolve_params(params)
-    w = eff["msd"]["discriminators"][0]["layers"][0]["w"]
+    w = eff["w"]
     sigma = np.linalg.svd(np.asarray(w).reshape(-1, w.shape[-1]),
                           compute_uv=False)[0]
     np.testing.assert_allclose(sigma, 1.0, rtol=1e-3)
