@@ -136,7 +136,7 @@ def main(argv=None):
     parser.add_argument("--dtype", default="mixed",
                         choices=["float32", "bfloat16", "mixed"],
                         help="codec dtype mode (serving default: mixed)")
-    parser.add_argument("--stack", default="folded",
+    parser.add_argument("--stack", default="xla",
                         choices=["folded", "xla"])
     parser.add_argument("--precision", default="default",
                         choices=["default", "highest"])

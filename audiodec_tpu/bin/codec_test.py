@@ -152,17 +152,19 @@ class BatchTranscoder:
     independently: dtype=f32 + dec_dtype=bf16 is the "mixed" mode — RVQ
     indices are computed exactly as in full-f32 mode (the decoder cannot
     influence them), only the decoded waveform rides bf16.
-    stack='folded' (default) runs the low-channel residual stacks
-    in the folded-time Pallas kernel — the same bf16-multiply/f32-accumulate
-    numeric class as XLA's own TPU convolutions, ~1.2x faster end-to-end.
-    For bit-exact RVQ indices vs the torch reference ON TPU HARDWARE, run
-    with --precision highest (true-f32 multiplies, stack forced to 'xla');
-    the default TPU path, folded or not, can flip near-tie argmins (see
+    stack='xla' (the CLI default as of round 2) runs plain XLA convs —
+    the current axon runtime's convs beat the folded-time Pallas kernel at
+    every stack width in-process (BENCHMARKS.md "runtime r2
+    re-measurement"); 'folded' keeps the kernel available (same
+    bf16-multiply/f32-accumulate numeric class; it won on the round-1
+    runtime).  For bit-exact RVQ indices vs the torch reference ON TPU
+    HARDWARE, run with --precision highest (true-f32 multiplies, stack
+    forced to 'xla'); the default TPU path can flip near-tie argmins (see
     BENCHMARKS.md "numerics on hardware")."""
 
     def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
                  dtype=jnp.float32, stack="folded", dec_dtype=None,
-                 pcm16=False):
+                 pcm16=False, int8_decode=False):
         self.params = params
         self.cfg = cfg
         self.voc = voc
@@ -172,7 +174,16 @@ class BatchTranscoder:
         use_folded = (stack == "folded" and cfg.mode == "causal"
                       and cfg.codec == "audiodec")
         enc_apply = encoder_apply_folded if use_folded else encoder_apply
-        dec_apply = decoder_apply_folded if use_folded else decoder_apply
+        if int8_decode and cfg.mode == "causal" and cfg.codec == "audiodec":
+            # quantized-decoder mode: int8 MXU dots in every decoder
+            # residual stack; encoder/RVQ unaffected (indices identical to
+            # the f32 encoder mode)
+            from functools import partial as _partial
+            dec_apply = _partial(decoder_apply_folded, int8=True)
+        elif use_folded:
+            dec_apply = decoder_apply_folded
+        else:
+            dec_apply = decoder_apply
         if stack == "folded":
             from audiodec_tpu.models.fast import vocoder_apply_folded
             voc_apply = vocoder_apply_folded
@@ -254,7 +265,7 @@ class BatchTranscoder:
 
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
                dp: int = 1, dtype=jnp.float32, stack="folded",
-               dec_dtype=None, pcm16=False):
+               dec_dtype=None, pcm16=False, int8_decode=False):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -287,7 +298,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
         mesh = make_mesh(data=dp, seq=seq)
     return BatchTranscoder(params, cfg, voc=voc, mesh=mesh,
                            dtype=dtype, stack=stack,
-                           dec_dtype=dec_dtype, pcm16=pcm16), enc_config
+                           dec_dtype=dec_dtype, pcm16=pcm16,
+                           int8_decode=int8_decode), enc_config
 
 
 def main(argv=None):
@@ -308,15 +320,21 @@ def main(argv=None):
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel devices")
     parser.add_argument("--dtype", default="float32",
-                        choices=["float32", "bfloat16", "mixed"],
+                        choices=["float32", "bfloat16", "mixed",
+                                 "int8-decode"],
                         help="conv compute dtype.  bfloat16 = fast mode; "
                              "mixed = f32 encoder+RVQ (identical indices "
-                             "to float32 mode) with a bf16 decoder")
-    parser.add_argument("--stack", default="folded",
+                             "to float32 mode) with a bf16 decoder; "
+                             "int8-decode = mixed plus int8-MXU-dot "
+                             "residual stacks in the decoder (2x dot "
+                             "rate; quality deltas in BENCHMARKS.md)")
+    parser.add_argument("--stack", default="xla",
                         choices=["folded", "xla"],
-                        help="residual-stack impl: folded Pallas kernel "
-                             "(default; same numeric class as XLA TPU "
-                             "convs) or plain XLA")
+                        help="residual-stack impl: plain XLA (default — "
+                             "the current axon runtime's convs beat the "
+                             "folded kernel in-process, BENCHMARKS.md) or "
+                             "the folded Pallas kernel (same numeric "
+                             "class; faster on the round-1 runtime)")
     parser.add_argument("--precision", default="default",
                         choices=["default", "highest"],
                         help="highest = true-f32 multiplies: bit-exact RVQ "
@@ -359,11 +377,12 @@ def main(argv=None):
         stack = "xla"
 
     dtype = (jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
-    dec_dtype = jnp.bfloat16 if args.dtype == "mixed" else None
+    dec_dtype = (jnp.bfloat16 if args.dtype in ("mixed", "int8-decode")
+                 else None)
     transcoder, config = load_codec(
         args.encoder, args.decoder, args.seq, args.dp,
         dtype=dtype, stack=stack, dec_dtype=dec_dtype,
-        pcm16=not args.float_out)
+        pcm16=not args.float_out, int8_decode=args.dtype == "int8-decode")
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 

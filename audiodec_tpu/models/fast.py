@@ -33,12 +33,25 @@ def _use_folded(c: int, t: int, cfg: GeneratorConfig) -> bool:
             and f >= 4 and t % f == 0)
 
 
-def res_stack_auto(x, block_params, cfg: GeneratorConfig, interpret=None):
+def res_stack_auto(x, block_params, cfg: GeneratorConfig, interpret=None,
+                   int8=False):
     """Residual stack: folded-time Pallas kernel where it beats XLA
-    (C<=32; tools/folded_probe.py), plain XLA chain otherwise."""
+    (C<=32; tools/folded_probe.py), plain XLA chain otherwise.
+
+    int8=True (quantized decode mode): run EVERY stack width through the
+    folded kernel with int8 MXU dots (2x the bf16 dot rate on v5e) —
+    per-lane weight scales, per-row dynamic activation scales; quality
+    deltas measured in BENCHMARKS.md."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, t, c = x.shape
+    if int8 and (cfg.nonlinear_activation == "ELU"
+                 and not cfg.nonlinear_activation_params):
+        return folded_residual_stack(
+            x, res_stack_params(block_params),
+            dilations=tuple(cfg.res_dilations),
+            kernel_size=cfg.res_kernel_size, int8_dots=True,
+            interpret=interpret)
     if _use_folded(c, t, cfg):
         return folded_residual_stack(
             x, res_stack_params(block_params),
@@ -65,14 +78,18 @@ def encoder_apply_folded(p, x, cfg: GeneratorConfig, interpret=None):
     return x
 
 
-def decoder_apply_folded(p, z, cfg: GeneratorConfig, interpret=None):
-    """Batch causal decoder, folded-stack fast path.  z: (B, T', D)."""
+def decoder_apply_folded(p, z, cfg: GeneratorConfig, interpret=None,
+                         int8=False):
+    """Batch causal decoder, folded-stack fast path.  z: (B, T', D).
+
+    int8=True: quantized-decoder mode — residual stacks use int8 MXU dots
+    at every width; the strided/transposed convs keep their input dtype."""
     assert cfg.mode == "causal" and cfg.codec == "audiodec"
     x = causal_conv1d(z, p["conv1"])
     for i, stride in enumerate(cfg.dec_strides):
         bp = p["blocks"][i]
         x = causal_conv_transpose1d(x, bp["conv"], stride=stride)
-        x = res_stack_auto(x, bp, cfg, interpret)
+        x = res_stack_auto(x, bp, cfg, interpret, int8=int8)
     return causal_conv1d(x, p["conv2"])
 
 

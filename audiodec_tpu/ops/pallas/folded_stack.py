@@ -107,8 +107,8 @@ def res_stack_params(block_params: dict) -> Tuple:
 
 @partial(jax.jit, static_argnames=("dilations", "kernel_size",
                                    "kernel_size2", "act", "act_param",
-                                   "tile_rows", "bf16_dots", "fold",
-                                   "interpret"))
+                                   "tile_rows", "bf16_dots", "int8_dots",
+                                   "fold", "interpret"))
 def folded_residual_stack(x, unit_params: Tuple, *,
                           dilations: Tuple[int, ...] = (1, 3, 9),
                           kernel_size: int = 7,
@@ -118,6 +118,7 @@ def folded_residual_stack(x, unit_params: Tuple, *,
                           biases: Tuple = None,
                           tile_rows: int = DEFAULT_TILE_ROWS,
                           bf16_dots: bool = True,
+                          int8_dots: bool = False,
                           fold: int = 0,
                           interpret: bool = False):
     """Apply a chain of causal residual units, fused, in folded-time layout.
@@ -143,6 +144,15 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     measured ~2e-3 relative deviation between XLA-f32 and true-f32 on real
     shapes); Mosaic would otherwise emit multi-pass f32 matmuls ~3x slower.
     Set False for true-f32 multiplies (interpret-mode parity tests).
+
+    int8_dots: quantized decode mode — the v5e MXU runs int8xint8->int32
+    dots at 2x the bf16 rate.  Weights are quantized per output lane
+    (symmetric, absmax/127 over all folded offset planes); activations are
+    quantized per folded row on the fly.  Each offset's int32 partial is
+    dequantized with its own input-row scales and accumulated in f32 (per-
+    row scales make a shared int32 accumulator across offsets incorrect).
+    Indices/encoder are untouched by this mode — it is decode-side only;
+    quality deltas are measured in BENCHMARKS.md.  Overrides bf16_dots.
     """
     b, t, c = x.shape
     k = kernel_size
@@ -196,12 +206,25 @@ def folded_residual_stack(x, unit_params: Tuple, *,
                      memory_space=pltpu.VMEM),
     ]
     dot_dtype = jnp.bfloat16 if bf16_dots else x.dtype
+    wscales = []
     for (w1, w2), d in zip(unit_params, dilations):
-        wf = fold_conv_weight(w1, d, f).astype(dot_dtype)
+        wf = fold_conv_weight(w1.astype(jnp.float32), d, f)
         if k2 > 1:
-            w2f = fold_conv_weight(w2, 1, f).astype(dot_dtype)
+            w2f = fold_conv_weight(w2.astype(jnp.float32), 1, f)
         else:
-            w2f = fold_1x1_weight(w2, f).astype(dot_dtype)[None]
+            w2f = fold_1x1_weight(w2.astype(jnp.float32), f)[None]
+        if int8_dots:
+            # symmetric per-output-lane scales over all offset planes
+            s1 = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1)), 1e-12) / 127.
+            s2 = jnp.maximum(jnp.max(jnp.abs(w2f), axis=(0, 1)),
+                             1e-12) / 127.
+            wf = jnp.round(wf / s1).astype(jnp.int8)
+            w2f = jnp.round(w2f / s2).astype(jnp.int8)
+            wscales.append(s1)
+            wscales.append(s2)
+        else:
+            wf = wf.astype(dot_dtype)
+            w2f = w2f.astype(dot_dtype)
         flat_w.append(wf)
         flat_w.append(w2f)
         in_specs.append(pl.BlockSpec(
@@ -210,6 +233,13 @@ def folded_residual_stack(x, unit_params: Tuple, *,
         in_specs.append(pl.BlockSpec(
             w2f.shape, (lambda nd: lambda bi, ti: (0,) * nd)(w2f.ndim),
             memory_space=pltpu.VMEM))
+
+    if int8_dots:
+        wscale_stack = jnp.stack(wscales)  # (2*n_units, FC) f32
+        flat_w.append(wscale_stack)
+        in_specs.append(pl.BlockSpec(wscale_stack.shape,
+                                     lambda bi, ti: (0, 0),
+                                     memory_space=pltpu.VMEM))
 
     has_bias = biases is not None
     if has_bias:
@@ -231,6 +261,7 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     def kernel(halo_ref, x_ref, *refs):
         out_ref = refs[-1]
         bias_ref = refs[-2] if has_bias else None
+        wscale_ref = refs[-2 - int(has_bias)] if int8_dots else None
         v = jnp.concatenate([halo_ref[0, 0], x_ref[0]], axis=0)
         length = rows_tile + h_total
         # absolute folded-row index of v[0] (rows < 0 are the zero pad
@@ -245,33 +276,62 @@ def folded_residual_stack(x, unit_params: Tuple, *,
             rows = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], 1), 0)
             return jnp.where(rows + row0 >= 0, y + bvec, 0.0)
 
+        def conv_folded(y, w_ref, offs, span, out_len, scale_row):
+            """Offset-sum folded conv.  y: pre-activated f32 input.
+            scale_row: per-row dequant scales (len(y), 1) in int8 mode."""
+            if int8_dots:
+                acc = None
+                for i, o in enumerate(offs):
+                    s = o + span
+                    d_ = jax.lax.dot_general(
+                        y[s:s + out_len, :], w_ref[i],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    part = d_.astype(jnp.float32) * scale_row[s:s + out_len]
+                    acc = part if acc is None else acc + part
+                return acc
+            acc = None
+            for i, o in enumerate(offs):
+                s = o + span
+                d_ = jax.lax.dot_general(
+                    y[s:s + out_len, :], w_ref[i],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = d_ if acc is None else acc + d_
+            return acc
+
+        def quantize(y):
+            """f32 (rows, FC) -> (int8 rows, per-row dequant scale)."""
+            s_x = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+            r = 127.0 / jnp.maximum(s_x, 1e-12)
+            q = jnp.round(y * r).astype(jnp.int8)
+            return q, s_x * (1.0 / 127.0)
+
         ridx = 0
         for u, (offs, span1) in enumerate(per_unit):
             wf_ref = refs[ridx]
             w2_ref = refs[ridx + 1]
             ridx += 2
-            y1 = _act(v).astype(dot_dtype)
+            y1f = _act(v)
             out_len = length - span1
-            acc = None
-            for i, o in enumerate(offs):
-                s = o + span1
-                d_ = jax.lax.dot_general(
-                    y1[s:s + out_len, :], wf_ref[i],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc = d_ if acc is None else acc + d_
+            if int8_dots:
+                q1, sr1 = quantize(y1f)
+                acc = conv_folded(q1, wf_ref, offs, span1, out_len, sr1)
+                acc = acc * wscale_ref[2 * u:2 * u + 1, :]
+            else:
+                acc = conv_folded(y1f.astype(dot_dtype), wf_ref, offs,
+                                  span1, out_len, None)
             if has_bias:
                 acc = masked(acc, start + span1, bias_ref[2 * u:2 * u + 1, :])
             out_len2 = out_len - span2
-            ym = _act(acc).astype(dot_dtype)
-            y2 = None
-            for i, o in enumerate(offs2):
-                s = o + span2
-                d_ = jax.lax.dot_general(
-                    ym[s:s + out_len2, :], w2_ref[i],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                y2 = d_ if y2 is None else y2 + d_
+            ymf = _act(acc)
+            if int8_dots:
+                q2, sr2 = quantize(ymf)
+                y2 = conv_folded(q2, w2_ref, offs2, span2, out_len2, sr2)
+                y2 = y2 * wscale_ref[2 * u + 1:2 * u + 2, :]
+            else:
+                y2 = conv_folded(ymf.astype(dot_dtype), w2_ref, offs2,
+                                 span2, out_len2, None)
             if has_bias:
                 y2 = masked(y2, start + span1 + span2,
                             bias_ref[2 * u + 1:2 * u + 2, :])

@@ -39,7 +39,12 @@ def init_distributed(coordinator: Optional[str] = None,
     kwargs = {}
     if coordinator is not None:
         kwargs = dict(coordinator_address=coordinator,
-                      num_processes=num_processes, process_id=process_id)
+                      num_processes=num_processes, process_id=process_id,
+                      # Gloo's default 60s rendezvous window times out on
+                      # heavily loaded CPU rigs (N python processes cold-
+                      # starting jax concurrently); a longer window removes
+                      # the need for launch retries
+                      initialization_timeout=300)
     jax.distributed.initialize(**kwargs)
 
 

@@ -3,11 +3,12 @@
 Workload (BASELINE.json north star): full symAD_vctk_48000_hop300
 architecture, batch transcode (encode -> RVQ indices -> decode) of 48 kHz
 audio in the recommended production configuration (`codec_test --dtype
-mixed`): f32 encoder+projector+RVQ with folded-Pallas residual stacks —
-RVQ indices identical to full-f32 mode by construction, the same
-bf16-multiply/f32-accumulate class as XLA's own TPU convolutions — and a
-bf16 decoder (see BENCHMARKS.md "numerics on hardware" and the dtype-mode
-table).  Prints ONE JSON line:
+mixed`): f32 encoder+projector+RVQ (RVQ indices identical to full-f32 mode
+by construction) and a bf16 decoder, on plain XLA conv stacks — the
+current axon runtime's XLA convs beat the folded-Pallas kernel at every
+width in-process (BENCHMARKS.md "runtime r2 re-measurement"; round 1
+measured the opposite on the older runtime, so codec_test keeps --stack
+folded available).  Prints ONE JSON line:
   {"metric": "encode_decode_rtf", "value": N, "unit": "x_realtime",
    "vs_baseline": N}
 vs_baseline is measured RTF / 1000 (the north-star target "RTF > 1000x on a
@@ -33,9 +34,9 @@ def main():
         generator_init,
         projector_apply,
     )
-    from audiodec_tpu.models.fast import (
-        decoder_apply_folded as decoder_apply,
-        encoder_apply_folded as encoder_apply,
+    from audiodec_tpu.models.autoencoder import (
+        decoder_apply,
+        encoder_apply,
     )
     from audiodec_tpu.ops.vq import rvq_forward_index
 

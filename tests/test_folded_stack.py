@@ -235,3 +235,34 @@ def test_vocoder_apply_folded_mrf_matches_plain():
     out = vocoder_apply_folded(p, zq, cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_int8_folded_stack_close_to_f32():
+    """int8-dot quantized kernel (decode mode): per-lane weight scales +
+    per-row dynamic activation scales keep the stack within ~1e-3 of the
+    f32 XLA chain (interpret mode; hardware A/B in tools/folded_probe.py
+    --int8)."""
+    import jax
+    from audiodec_tpu.models.autoencoder import (GeneratorConfig,
+                                                 _res_unit_apply,
+                                                 generator_init)
+    from audiodec_tpu.ops.pallas.folded_stack import (folded_residual_stack,
+                                                      res_stack_params)
+
+    cfg = GeneratorConfig()
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    for bi, scale in ((0, 1.0), (1, 4.0)):  # C=32 (fold 4) and C=64 (fold 2)
+        bp = params["encoder"]["blocks"][bi]
+        C = bp["res"][0]["conv1"]["w"].shape[1]
+        x = jnp.asarray(scale * np.random.default_rng(bi)
+                        .standard_normal((2, 900, C)).astype(np.float32))
+        v = x
+        for d, u in zip(cfg.res_dilations, bp["res"]):
+            v = _res_unit_apply(u, v, dilation=d, act=cfg.act, mode="causal")
+        ref = np.asarray(v)
+        out = np.asarray(folded_residual_stack(
+            x, res_stack_params(bp), interpret=True, int8_dots=True))
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 2e-3, f"C={C}: int8 rel err {rel:.2e}"
+        # exact zero propagation before t=0 is preserved (no bias case)
+        assert np.isfinite(out).all()

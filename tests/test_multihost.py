@@ -26,11 +26,22 @@ def _clean_env(**extra):
     return env
 
 
-def test_two_process_transcode_and_train():
+import pytest
+
+
+@pytest.mark.parametrize("nprocs,devs,port", [(2, 2, "23981"),
+                                              (4, 2, "23984")])
+def test_multi_process_transcode_and_train(nprocs, devs, port):
+    """2x2 and 4x2 process grids.  Each run covers: data-sharded cross-host
+    transcode, a seq mesh whose shards + multi-hop halo chain
+    (parallel/codec.py:92-99; 7209-sample halo over 600-sample shards)
+    cross every process boundary, DP train steps, and post-step param
+    synchronization."""
     out = subprocess.run(
-        [sys.executable, PROBE, "--nprocs", "2", "--devices-per-proc", "2"],
-        env=_clean_env(AUDIODEC_MH_PORT="23981"),
-        capture_output=True, text=True, timeout=540)
+        [sys.executable, PROBE, "--nprocs", str(nprocs),
+         "--devices-per-proc", str(devs)],
+        env=_clean_env(AUDIODEC_MH_PORT=port),
+        capture_output=True, text=True, timeout=840)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multihost_probe: OK" in out.stdout
 
@@ -143,25 +154,20 @@ def test_codec_train_cli_multihost(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=540)
     assert r.returncode == 0, r.stdout + r.stderr
 
-    # two processes, one device each, same global batch.  Gloo's rendezvous
-    # can time out when the host is heavily loaded (another suite/TPU job
-    # running) — retry once on a fresh port before calling it a failure.
+    # two processes, one device each, same global batch.  No retry:
+    # init_distributed now opens a 300s rendezvous window, which covers the
+    # loaded-host cold-start that used to flake Gloo's default 60s.
     tag_2p = str(tmp_path / "exp_2p")
-    for attempt, port in enumerate((23987, 24987)):
-        procs = [subprocess.Popen(
-            [sys.executable, "-m", "audiodec_tpu.bin.codec_train",
-             "--config", cfg_path, "--tag", tag_2p,
-             "--coordinator", f"localhost:{port}",
-             "--num-processes", "2", "--process-id", str(i)],
-            env=_clean_env(JAX_PLATFORMS="cpu"), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-            for i in range(2)]
-        outs = [p.communicate(timeout=540) for p in procs]
-        if all(p.returncode == 0 for p in procs):
-            break
-        gloo_flake = any("Connect timeout" in o[1] or "Gloo" in o[1]
-                         for o in outs)
-        assert attempt == 0 and gloo_flake, outs
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "audiodec_tpu.bin.codec_train",
+         "--config", cfg_path, "--tag", tag_2p,
+         "--coordinator", "localhost:23987",
+         "--num-processes", "2", "--process-id", str(i)],
+        env=_clean_env(JAX_PLATFORMS="cpu"), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
 
     s1, h1 = load_checkpoint(os.path.join(tag_1p, "checkpoint-final.ckpt"))
     s2, h2 = load_checkpoint(os.path.join(tag_2p, "checkpoint-final.ckpt"))

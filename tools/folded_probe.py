@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the int8-dot quantized kernel")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -90,19 +92,34 @@ def main():
                                              bf16_dots=True, fold=f,
                                              tile_rows=tile)
 
+            def fused_i8(x, f=f, tile=tile):
+                return folded_residual_stack(x, kp, dilations=dils,
+                                             int8_dots=True, fold=f,
+                                             tile_rows=tile)
+
+            def rel_err(yb):
+                return float(jnp.max(jnp.abs(ya.astype(jnp.float32)
+                                             - yb.astype(jnp.float32)))
+                             / (float(jnp.max(jnp.abs(
+                                 ya.astype(jnp.float32)))) + 1e-9))
+
             yb = jax.jit(fused)(x0)
-            rel = float(jnp.max(jnp.abs(ya.astype(jnp.float32)
-                                        - yb.astype(jnp.float32)))
-                        / (float(jnp.max(jnp.abs(ya.astype(jnp.float32))))
-                           + 1e-9))
+            rel = rel_err(yb)
             t_fused = time_fn(fused, x0)
-            print(json.dumps({
+            rec = {
                 "C": C, "T": T, "dtype": args.dtype, "fold": f,
                 "xla_ms": round(t_xla * 1e3, 2),
                 "folded_ms": round(t_fused * 1e3, 2),
                 "speedup": round(t_xla / t_fused, 2),
                 "rel_max_err": float(f"{rel:.3e}"),
-            }), flush=True)
+            }
+            if args.int8:
+                yq = jax.jit(fused_i8)(x0)
+                rec["int8_rel_err"] = float(f"{rel_err(yq):.3e}")
+                t_i8 = time_fn(fused_i8, x0)
+                rec["int8_ms"] = round(t_i8 * 1e3, 2)
+                rec["int8_speedup_vs_xla"] = round(t_xla / t_i8, 2)
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -35,15 +35,44 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--batch", type=int, nargs="+", default=[1],
                 help="concurrent independent streams (batched state)")
 ap.add_argument("--hops", type=int, default=64)
+ap.add_argument("--cpu", action="store_true",
+                help="force CPU backend (sanity runs)")
+ap.add_argument("--decoder", default="sym",
+                choices=["sym", "v0", "v1", "v2"],
+                help="rx decoder: symAD mirror decoder or the AD v0/v1/v2 "
+                     "HiFiGAN vocoder variants (ref figs/latency.jpg rows)")
 args = ap.parse_args()
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
 
 cfg = GeneratorConfig()
 params = generator_init(jax.random.PRNGKey(0), cfg)
 hop = cfg.hop_length
 N = args.hops
 
+voc_cfg = None
+if args.decoder != "sym":
+    import yaml
+
+    from audiodec_tpu.models.vocoder import vocoder_init
+    from audiodec_tpu.utils.config import generator_config
+
+    VOC_YAML = {
+        "v0": "configs/vocoder/AudioDec_v0_symAD_vctk_48000_hop300_clean.yaml",
+        "v1": "configs/vocoder/AudioDec_v1_symAD_vctk_48000_hop300_clean.yaml",
+        "v2": "configs/vocoder/AudioDec_v2_symAD_vctk_48000_hop300_clean.yaml",
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, VOC_YAML[args.decoder])) as f:
+        vc = yaml.safe_load(f)
+    voc_cfg = generator_config(vc)
+    params = dict(params)
+    params["vocoder"] = vocoder_init(jax.random.PRNGKey(1), voc_cfg)
+
 enc = jax.jit(lambda p, x: scan_streaming_encode(p, cfg, x))
-dec = jax.jit(lambda p, i: scan_streaming_decode(p, cfg, i))
+dec = jax.jit(lambda p, i: scan_streaming_decode(p, cfg, i,
+                                                 voc_cfg=voc_cfg))
 
 for B in args.batch:
     x = jnp.asarray(0.3 * np.random.default_rng(0).standard_normal(

@@ -95,6 +95,27 @@ def worker(pid: int, nprocs: int, devices_per_proc: int) -> None:
     # conv reductions across different padded shapes), same as test_parallel
     np.testing.assert_allclose(y, np.asarray(y_ref), rtol=1e-5, atol=1e-6)
 
+    # --- 1b. seq axis SPANNING process boundaries with halo >> shard ---
+    # mesh (1, n_dev): every seq seam between hosts is a DCN-like boundary,
+    # and 2 hops per shard (600 samples) << the 7209-sample encoder halo,
+    # so _left_halo's multi-hop ppermute chain crosses processes
+    # (parallel/codec.py:92-99).
+    mesh_x = global_mesh(data=1, seq=n_dev)
+    T2 = n_dev * 2 * hop
+    x2_full = rng.randn(1, T2, 1).astype(np.float32)
+    seg = T2 // nprocs  # this host's time segment (seq is process-major)
+    x2_local = x2_full[:, pid * seg:(pid + 1) * seg]
+    x2g = host_local_to_global(mesh_x, P("data", "seq", None), x2_local)
+    enc_x, dec_x = make_sharded_codec(mesh_x, params, cfg)
+    idx2_g = enc_x(x2g)
+    idx2 = global_to_host_local(idx2_g)
+    y2 = global_to_host_local(dec_x(idx2_g))
+    with jax.default_device(jax.local_devices()[0]):
+        idx2_ref, y2_ref = ref_transcode(jnp.asarray(x2_full))
+    assert (idx2 == np.asarray(idx2_ref)).all(), \
+        "cross-host multi-hop halo: RVQ indices diverge"
+    np.testing.assert_allclose(y2, np.asarray(y2_ref), rtol=1e-5, atol=1e-6)
+
     # --- 2. cross-host data-parallel training steps ---
     from jax import shard_map
     from jax.sharding import Mesh
