@@ -1,0 +1,84 @@
+"""Hardware RVQ index flip rate on TRAINED codebooks.
+
+XLA's TPU convs multiply in bf16 under default precision, which can flip
+near-tie argmins vs the CPU/torch reference.  Round 1 measured 7/96 flips
+on a seeded-random golden (tight codebook margins) and asserted trained
+codebooks would flip less; this probe measures it: encode the trained
+golden's held-out audio (tests/golden/gen_symad_trained.npz, trained by
+the reference's own trainer) on the device under each encoder mode and
+count index mismatches vs the torch reference indices.
+
+Usage: python tools/flip_probe.py [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from audiodec_tpu.models.autoencoder import (
+        GeneratorConfig, encoder_apply, projector_apply)
+    from audiodec_tpu.ops.vq import rvq_forward_index
+    from audiodec_tpu.utils.torch_import import import_autoencoder
+
+    data = np.load(os.path.join(REPO, "tests", "golden",
+                                "gen_symad_trained.npz"))
+    sd = {k[len("sd__"):]: data[k] for k in data.files
+          if k.startswith("sd__")}
+    cfg = GeneratorConfig()
+    params = import_autoencoder(sd, cfg)
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))  # (1, T, 1)
+    q = cfg.codebook_num
+    ref = data["idx_stream"]  # (Q, frames), flattened with q*N offsets
+    offs = (np.arange(q) * cfg.codebook_size)[None, None, :]
+
+    def encode(x, dtype):
+        p = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            {"encoder": params["encoder"], "projector": params["projector"]})
+        h = encoder_apply(p["encoder"], x.astype(dtype), cfg)
+        z = projector_apply(p["projector"], h, cfg)
+        _, idx = rvq_forward_index(z.astype(jnp.float32),
+                                   params["quantizer"])
+        return idx
+
+    for mode, dtype, prec in (("f32_default", jnp.float32, None),
+                              ("bf16", jnp.bfloat16, None),
+                              ("f32_highest", jnp.float32, "highest")):
+        if prec:
+            jax.config.update("jax_default_matmul_precision", prec)
+        idx = np.asarray(jax.jit(lambda x, d=dtype: encode(x, d))(x))
+        if prec:
+            jax.config.update("jax_default_matmul_precision", None)
+        flat = (idx[0] + offs[0]).T  # (Q, frames)
+        flips = int((flat != ref).sum())
+        total = int(ref.size)
+        print(json.dumps({
+            "mode": mode, "flips": flips, "total": total,
+            "flip_rate": round(flips / total, 5),
+            "backend": jax.default_backend(),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
