@@ -25,6 +25,15 @@ CFGS = {
         in_channels=16, channels=32, upsample_scales=(5, 5, 4, 3),
         upsample_kernel_sizes=(10, 10, 8, 6), resblock_kernel_sizes=(11,),
         resblock_dilations=((1, 3, 5),), groups=3, stats=True),
+    # TRAINED weights: v1-style vocoder (channels 128) trained for 250
+    # adversarial steps by the reference's own trainer against the frozen
+    # 3000-step analyzer (tools/ref_train.py + dump_trained_voc_golden.py);
+    # weight-norm g/v and stats buffers are genuinely trained, and the
+    # input zq comes from the trained analyzer on held-out audio.
+    "voc_v1_small_trained": VocoderConfig(
+        in_channels=64, channels=128, upsample_scales=(5, 5, 4, 3),
+        upsample_kernel_sizes=(10, 10, 8, 6), resblock_kernel_sizes=(11,),
+        resblock_dilations=((1, 3, 5),), groups=3, stats=True),
 }
 
 
@@ -34,6 +43,36 @@ def load_case(name):
     cfg = CFGS[name]
     params = import_vocoder(sd, cfg)
     return data, cfg, params
+
+
+def test_trained_vocoder_parity():
+    """AD v1 pipeline on TRAINED weights: batch forward, whole-signal
+    streaming, hop-by-hop; plus decode SNR vs the torch decode (the
+    trained-weight-norm folding contract, ref HiFiGAN.py:193-203)."""
+    data, cfg, params = load_case("voc_v1_small_trained")
+    assert int(data["trained_steps"]) >= 250
+    zq = jnp.asarray(data["zq"].transpose(0, 2, 1))
+
+    y = vocoder_apply(params, zq, cfg)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), data["y"],
+                               rtol=1e-3, atol=1e-5)
+
+    st = vocoder_state_init(1, cfg, jnp.float32)
+    ys, _ = vocoder_apply(params, zq, cfg, state=st)
+    ref = data["y_stream"].transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(ys), ref, rtol=1e-3, atol=1e-5)
+    err = np.asarray(ys) - ref
+    snr = 10 * np.log10((ref ** 2).sum() / max((err ** 2).sum(), 1e-30))
+    assert snr > 50.0, f"SNR vs torch decode too low: {snr:.1f} dB"
+
+    st = vocoder_state_init(1, cfg, jnp.float32)
+    outs = []
+    for i in range(int(data["n_hops"])):
+        yh, st = vocoder_apply(params, zq[:, i:i + 1], cfg, state=st)
+        outs.append(np.asarray(yh))
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=1).transpose(0, 2, 1), data["y_hops"],
+        rtol=1e-3, atol=1e-5)
 
 
 @pytest.mark.parametrize("name", ["voc_mrf", "voc_group"])
