@@ -89,14 +89,25 @@ def iter_watch_jobs(watch_dir: str, poll_s: float):
     flush a lingering partial batch between file arrivals.
 
     A file is only yielded once its size is unchanged between two polls —
-    a producer still writing it would otherwise hand us a truncated wav."""
+    a producer still writing it would otherwise hand us a truncated wav.
+
+    State is bounded by the directory's current contents: names that
+    disappear are forgotten (so a rotated/recreated file transcodes
+    again), never accumulated forever in a long-lived server."""
     seen = set()
     sizes = {}
     while True:
         if os.path.exists(os.path.join(watch_dir, ".stop")):
             return
-        for name in sorted(os.listdir(watch_dir)):
-            if not name.endswith(".wav") or name in seen:
+        listing = [n for n in sorted(os.listdir(watch_dir))
+                   if n.endswith(".wav")]
+        present = set(listing)
+        seen &= present
+        for name in list(sizes):
+            if name not in present:
+                del sizes[name]
+        for name in listing:
+            if name in seen:
                 continue
             path = os.path.join(watch_dir, name)
             try:
@@ -202,6 +213,32 @@ def main(argv=None):
             return None
         return x, sr
 
+    # Auto-generated output names (<base>_output.wav) can collide across
+    # jobs: two inputs with the same basename from different directories
+    # would silently overwrite each other.  Remember which source produced
+    # each output (LRU-bounded so a long-lived server's memory stays flat);
+    # a DIFFERENT source colliding on the same output gets a uniquified
+    # name, while the same source re-transcoding (watch-mode rotation)
+    # keeps overwriting its own output.
+    from collections import OrderedDict
+    out_owner: "OrderedDict[str, str]" = OrderedDict()
+    OUT_OWNER_CAP = 65536
+
+    def output_path(src, dst):
+        if dst:
+            return dst
+        base = os.path.splitext(os.path.basename(src))[0]
+        out = os.path.join(args.outdir, f"{base}_output.wav")
+        n = 2
+        while out in out_owner and out_owner[out] != src:
+            out = os.path.join(args.outdir, f"{base}_output.{n}.wav")
+            n += 1
+        out_owner[out] = src
+        out_owner.move_to_end(out)
+        while len(out_owner) > OUT_OWNER_CAP:
+            out_owner.popitem(last=False)
+        return out
+
     def flush(batch_jobs):
         """Transcode one micro-batch of (src, dst) jobs."""
         jobs, datas = [], []
@@ -236,8 +273,7 @@ def main(argv=None):
         y_np = np.asarray(y)
         dt = time.perf_counter() - t0
         for row, (src, dst) in enumerate(jobs):
-            base = os.path.splitext(os.path.basename(src))[0]
-            out = dst or os.path.join(args.outdir, f"{base}_output.wav")
+            out = output_path(src, dst)
             write_wav(out, y_np[row, :lens[row]], sr_expect)
             emit({"input": src, "output": out,
                   "seconds": lens[row] / sr_expect,

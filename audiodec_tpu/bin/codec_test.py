@@ -163,8 +163,9 @@ class BatchTranscoder:
     BENCHMARKS.md "numerics on hardware")."""
 
     def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
-                 dtype=jnp.float32, stack="folded", dec_dtype=None,
-                 pcm16=False, int8_decode=False):
+                 dtype=jnp.float32, stack="xla", dec_dtype=None,
+                 pcm16=False, int8_decode=False, exact_k=None,
+                 enc_precision=None):
         self.params = params
         self.cfg = cfg
         self.voc = voc
@@ -174,12 +175,28 @@ class BatchTranscoder:
         use_folded = (stack == "folded" and cfg.mode == "causal"
                       and cfg.codec == "audiodec")
         enc_apply = encoder_apply_folded if use_folded else encoder_apply
-        if int8_decode and cfg.mode == "causal" and cfg.codec == "audiodec":
+        if int8_decode and (voc is not None or cfg.mode != "causal"
+                            or cfg.codec != "audiodec"):
+            # int8 residual stacks exist only for the causal audiodec
+            # decoder; a vocoder-pair decode or non-audiodec config would
+            # otherwise silently get a different mode than asked for
+            import warnings
+            warnings.warn(
+                "int8-decode cannot be honored for "
+                + ("vocoder-pair decodes" if voc is not None
+                   else f"mode={cfg.mode}/codec={cfg.codec}")
+                + "; running the non-int8 decoder instead")
+            int8_decode = False
+        if int8_decode:
             # quantized-decoder mode: int8 MXU dots in every decoder
             # residual stack; encoder/RVQ unaffected (indices identical to
-            # the f32 encoder mode)
+            # the f32 encoder mode).  Decoder params/activations stay f32
+            # outside the kernel so the int8 quantization rounds from f32 —
+            # the exact path tools/int8_quality_probe.py measured
+            # (BENCHMARKS.md int8 section).
             from functools import partial as _partial
             dec_apply = _partial(decoder_apply_folded, int8=True)
+            dec_dtype = jnp.float32
         elif use_folded:
             dec_apply = decoder_apply_folded
         else:
@@ -207,6 +224,18 @@ class BatchTranscoder:
             dec_params = cast(voc[0] if voc is not None
                               else params["decoder"], dec_dtype)
 
+            import contextlib
+
+            # "exact" parity mode: the encoder+projector trace under a
+            # raised matmul precision (true-f32 multiplies; the TPU default
+            # is one bf16 pass) while the decoder keeps its fast dtype —
+            # the decoder cannot influence the indices.  exact_k adds the
+            # two-pass argmin so the RVQ distance matmul is exact even
+            # when the encoder precision is not raised.
+            enc_scope = (
+                (lambda: jax.default_matmul_precision(enc_precision))
+                if enc_precision else contextlib.nullcontext)
+
             @jax.jit
             def encode(x):
                 if x.dtype == jnp.int16:
@@ -214,11 +243,13 @@ class BatchTranscoder:
                     # int16->f32 and /2^15 are exact, so this equals the
                     # host float read bit-for-bit
                     x = x.astype(jnp.float32) / 32768.0
-                h = enc_apply(enc_params["encoder"], x.astype(dtype),
-                              cfg)
-                z = projector_apply(enc_params["projector"], h, cfg)
+                with enc_scope():
+                    h = enc_apply(enc_params["encoder"], x.astype(dtype),
+                                  cfg)
+                    z = projector_apply(enc_params["projector"], h, cfg)
                 _, idx = rvq_forward_index(z.astype(jnp.float32),
-                                           params["quantizer"])
+                                           params["quantizer"],
+                                           exact_k=exact_k)
                 return idx
 
             @jax.jit
@@ -264,8 +295,9 @@ class BatchTranscoder:
 
 
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
-               dp: int = 1, dtype=jnp.float32, stack="folded",
-               dec_dtype=None, pcm16=False, int8_decode=False):
+               dp: int = 1, dtype=jnp.float32, stack="xla",
+               dec_dtype=None, pcm16=False, int8_decode=False,
+               exact_k=None, enc_precision=None):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -299,7 +331,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
     return BatchTranscoder(params, cfg, voc=voc, mesh=mesh,
                            dtype=dtype, stack=stack,
                            dec_dtype=dec_dtype, pcm16=pcm16,
-                           int8_decode=int8_decode), enc_config
+                           int8_decode=int8_decode, exact_k=exact_k,
+                           enc_precision=enc_precision), enc_config
 
 
 def main(argv=None):
@@ -325,9 +358,10 @@ def main(argv=None):
                         help="conv compute dtype.  bfloat16 = fast mode; "
                              "mixed = f32 encoder+RVQ (identical indices "
                              "to float32 mode) with a bf16 decoder; "
-                             "int8-decode = mixed plus int8-MXU-dot "
-                             "residual stacks in the decoder (2x dot "
-                             "rate; quality deltas in BENCHMARKS.md)")
+                             "int8-decode = f32 encoder+RVQ with int8-"
+                             "MXU-dot residual stacks in the decoder, "
+                             "quantized from f32 (2x dot rate; quality "
+                             "deltas in BENCHMARKS.md)")
     parser.add_argument("--stack", default="xla",
                         choices=["folded", "xla"],
                         help="residual-stack impl: plain XLA (default — "
@@ -336,10 +370,20 @@ def main(argv=None):
                              "the folded Pallas kernel (same numeric "
                              "class; faster on the round-1 runtime)")
     parser.add_argument("--precision", default="default",
-                        choices=["default", "highest"],
-                        help="highest = true-f32 multiplies: bit-exact RVQ "
-                             "indices vs the torch reference on TPU "
-                             "hardware (slower; forces --stack xla)")
+                        choices=["default", "exact", "highest"],
+                        help="exact = hardware-bit-exact RVQ indices at "
+                             "near-mixed cost: the encoder traces at "
+                             "highest matmul precision and the RVQ argmin "
+                             "runs the two-pass shortlist re-score, while "
+                             "the decoder keeps its fast dtype (the "
+                             "recommended parity configuration; single-"
+                             "host only).  highest = true-f32 multiplies "
+                             "for the WHOLE graph (slower; forces "
+                             "--stack xla)")
+    parser.add_argument("--exact-k", type=int, default=16,
+                        help="two-pass argmin shortlist size for "
+                             "--precision exact (k=16 covers the measured "
+                             "~4-5%% near-tie flip band with wide margin)")
     parser.add_argument("--float-in", action="store_true",
                         help="convert PCM16 inputs to float32 on the host "
                              "instead of shipping raw int16 and "
@@ -372,9 +416,17 @@ def main(argv=None):
                          args.process_id)
 
     stack = args.stack
+    exact_k = enc_precision = None
     if args.precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
         stack = "xla"
+    elif args.precision == "exact":
+        if args.seq > 1 or args.dp > 1 or jax.process_count() > 1:
+            parser.error("--precision exact is single-host/unsharded only")
+        if args.dtype == "bfloat16":
+            parser.error("--precision exact needs an f32 encoder "
+                         "(--dtype float32, mixed, or int8-decode)")
+        exact_k, enc_precision = args.exact_k, "highest"
 
     dtype = (jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     dec_dtype = (jnp.bfloat16 if args.dtype in ("mixed", "int8-decode")
@@ -382,7 +434,8 @@ def main(argv=None):
     transcoder, config = load_codec(
         args.encoder, args.decoder, args.seq, args.dp,
         dtype=dtype, stack=stack, dec_dtype=dec_dtype,
-        pcm16=not args.float_out, int8_decode=args.dtype == "int8-decode")
+        pcm16=not args.float_out, int8_decode=args.dtype == "int8-decode",
+        exact_k=exact_k, enc_precision=enc_precision)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 

@@ -45,13 +45,23 @@ def res_stack_auto(x, block_params, cfg: GeneratorConfig, interpret=None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, t, c = x.shape
-    if int8 and (cfg.nonlinear_activation == "ELU"
-                 and not cfg.nonlinear_activation_params):
-        return folded_residual_stack(
-            x, res_stack_params(block_params),
-            dilations=tuple(cfg.res_dilations),
-            kernel_size=cfg.res_kernel_size, int8_dots=True,
-            interpret=interpret)
+    if int8:
+        if (cfg.nonlinear_activation == "ELU"
+                and not cfg.nonlinear_activation_params):
+            return folded_residual_stack(
+                x, res_stack_params(block_params),
+                dilations=tuple(cfg.res_dilations),
+                kernel_size=cfg.res_kernel_size, int8_dots=True,
+                interpret=interpret)
+        # the folded int8 kernel hardcodes param-free ELU; a user asking
+        # for int8 must not silently get a different mode (trace-time
+        # warning — res_stack_auto runs under jit tracing, once per shape)
+        import warnings
+        warnings.warn(
+            f"int8 residual stacks require param-free ELU activation "
+            f"(got {cfg.nonlinear_activation}"
+            f"{dict(cfg.nonlinear_activation_params) or ''}); "
+            f"falling back to the non-int8 path")
     if _use_folded(c, t, cfg):
         return folded_residual_stack(
             x, res_stack_params(block_params),

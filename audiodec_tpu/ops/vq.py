@@ -61,17 +61,56 @@ def vq_nearest(z: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(vq_distances(z, embed), axis=-1).astype(jnp.int32)
 
 
+def vq_nearest_2pass(z: jnp.ndarray, embed: jnp.ndarray,
+                     k: int = 16) -> jnp.ndarray:
+    """Two-pass nearest-codebook argmin: hardware-exact at near-default cost.
+
+    XLA:TPU multiplies f32 matmuls in one bf16 pass under default precision,
+    which can flip near-tie argmins vs the torch/CPU f32 reference (ref:
+    layers/vq_module.py:63-69; BENCHMARKS.md "numerics on hardware").  Pass 1
+    computes all N distances at default precision and shortlists the top-k
+    candidates per frame; pass 2 re-scores ONLY those k rows with a
+    HIGHEST-precision cross term (true-f32 multiplies; the |z|^2 and |E|^2
+    terms are elementwise VPU work and already exact).  k=16 covers the
+    measured ~4-5% near-tie flip band with a wide margin at ~k/N = 1.6% of
+    the distance FLOPs re-run at 6-pass cost.
+
+    Ties in the exact distances resolve to the lowest codebook index,
+    matching torch's `(-dist).max(1)` first-maximal rule.
+    """
+    d1 = vq_distances(z, embed)
+    _, cand = jax.lax.top_k(-d1, k)            # (..., k) candidate indices
+    e = jnp.take(embed, cand, axis=0)          # (..., k, D)
+    z2 = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+    e2 = jnp.sum(jnp.square(e), axis=-1)
+    cross = jnp.einsum("...d,...kd->...k", z, e,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    dk = z2 - 2.0 * cross + e2
+    m = jnp.min(dk, axis=-1, keepdims=True)
+    n_embed = embed.shape[0]
+    best = jnp.min(jnp.where(dk <= m, cand, n_embed), axis=-1)
+    return best.astype(jnp.int32)
+
+
 def _straight_through(residual, quant):
     return residual + jax.lax.stop_gradient(quant - residual)
 
 
 def rvq_forward_index(z: jnp.ndarray, params: dict,
-                      flatten: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      flatten: bool = False,
+                      exact_k: Optional[int] = None,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize-dequantize with indices (inference path).
 
     z: (B, T, D).  Returns (zq, idx) with zq (B, T, D) and idx (B, T, Q)
     int32; if `flatten`, layer-q indices are offset by q*N, the reference's
     wire format (ref: layers/vq_module.py:136-149).
+
+    exact_k: when set, each layer's argmin runs the two-pass hardware-exact
+    path (vq_nearest_2pass with a k-candidate shortlist); identical to the
+    default on CPU, removes the RVQ-matmul contribution to index flips on
+    TPU at ~no cost.
     """
     embed = params["embed"]
     num_q, n_embed = embed.shape[0], embed.shape[1]
@@ -79,7 +118,10 @@ def rvq_forward_index(z: jnp.ndarray, params: dict,
     zq = jnp.zeros_like(z)
     idxs = []
     for q in range(num_q):
-        idx = vq_nearest(residual, embed[q])
+        if exact_k:
+            idx = vq_nearest_2pass(residual, embed[q], k=exact_k)
+        else:
+            idx = vq_nearest(residual, embed[q])
         quant = jnp.take(embed[q], idx, axis=0)
         quant = _straight_through(residual, quant)
         residual = residual - quant

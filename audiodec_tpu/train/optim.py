@@ -48,6 +48,23 @@ def torch_adam(lr_schedule, betas=(0.9, 0.999), eps: float = 1e-8,
     return optax.chain(*chain)
 
 
+def torch_adamw(lr_schedule, betas=(0.9, 0.999), eps: float = 1e-8,
+                weight_decay: float = 1e-2,
+                grad_clip_norm: float = -1.0) -> optax.GradientTransformation:
+    """torch.optim.AdamW equivalent: DECOUPLED weight decay (param -=
+    lr*wd*param, applied outside the moment updates — add_decayed_weights
+    after scale_by_adam), with the same eps placement and optional
+    clip_grad_norm_ as torch_adam (ref: trainer/trainerGAN.py:271-294)."""
+    chain = []
+    if grad_clip_norm and grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*chain)
+
+
 def make_optimizer(config: dict, role: str) -> optax.GradientTransformation:
     """Build optimizer+scheduler for 'generator' or 'discriminator' from a
     reference-style config dict."""
@@ -71,14 +88,12 @@ def make_optimizer(config: dict, role: str) -> optax.GradientTransformation:
 
     if opt_type not in ("Adam", "AdamW"):
         raise NotImplementedError(f"Optimizer {opt_type} not supported")
-    if opt_type == "AdamW":
-        return optax.adamw(schedule, b1=opt_params.get("betas", (0.9, 0.999))[0],
-                           b2=opt_params.get("betas", (0.9, 0.999))[1],
-                           weight_decay=opt_params.get("weight_decay", 1e-2))
-    return torch_adam(
+    make = torch_adamw if opt_type == "AdamW" else torch_adam
+    return make(
         schedule,
         betas=tuple(opt_params.get("betas", (0.9, 0.999))),
         eps=opt_params.get("eps", 1e-8),
-        weight_decay=opt_params.get("weight_decay", 0.0),
+        weight_decay=opt_params.get(
+            "weight_decay", 1e-2 if opt_type == "AdamW" else 0.0),
         grad_clip_norm=config.get(f"{role}_grad_norm", -1),
     )

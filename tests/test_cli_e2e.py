@@ -374,3 +374,103 @@ def test_codec_serve_watch(workdir):
                       "--linger", "0.05"])
     t.join(timeout=10)
     assert os.path.exists(os.path.join(outdir, "job_output.wav"))
+
+
+def test_codec_serve_watch_rotation_bounded_state(workdir):
+    """Long-lived watch server: a deleted-then-recreated input transcodes
+    again (watch state is pruned to the directory's contents, not
+    accumulated forever), and its output is overwritten in place."""
+    import shutil
+    import threading
+    import time as _time
+
+    root, cfg_path = workdir
+    final = os.path.join(str(root / "exp" / "tiny"), "checkpoint-final.ckpt")
+    if not os.path.exists(final):  # standalone invocation
+        from audiodec_tpu.bin import codec_train
+        codec_train.main(["--config", cfg_path,
+                          "--tag", str(root / "exp" / "tiny")])
+    watch = str(root / "watch_rot_in")
+    outdir = str(root / "watch_rot_out")
+    os.makedirs(watch, exist_ok=True)
+    src_a = str(root / "corpus" / "test" / "test0.wav")
+    src_b = str(root / "corpus" / "test" / "test1.wav")
+    out = os.path.join(outdir, "rot_output.wav")
+
+    def wait_for(pred, deadline_s=120):
+        deadline = _time.monotonic() + deadline_s
+        while _time.monotonic() < deadline:
+            if pred():
+                return True
+            _time.sleep(0.1)
+        return False
+
+    results = {}
+
+    def feeder():
+        shutil.copy(src_a, os.path.join(watch, "rot.wav"))
+        if wait_for(lambda: os.path.exists(out)):
+            results["first"] = open(out, "rb").read()
+            # rotate: delete + recreate the same name with NEW content;
+            # the server must pick it up again and overwrite the output
+            os.remove(os.path.join(watch, "rot.wav"))
+            _time.sleep(0.4)  # let a poll observe the deletion
+            shutil.copy(src_b, os.path.join(watch, "rot.wav"))
+            wait_for(lambda: os.path.exists(out)
+                     and open(out, "rb").read() != results["first"])
+            results["second"] = open(out, "rb").read()
+        open(os.path.join(watch, ".stop"), "w").close()
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    from audiodec_tpu.bin import codec_serve
+    codec_serve.main(["--encoder", final, "--decoder", final,
+                      "--outdir", outdir, "--watch", watch, "--poll", "0.1",
+                      "--dtype", "float32", "--warmup-seconds", "0",
+                      "--linger", "0.05"])
+    t.join(timeout=10)
+    assert "first" in results and "second" in results
+    assert results["second"] != results["first"]
+
+
+def test_codec_serve_output_name_collision(workdir, monkeypatch, capsys):
+    """Two different inputs sharing a basename (different directories) must
+    not overwrite each other's auto-named output; the same input
+    re-transcoded keeps its output path."""
+    import io
+    import shutil
+    import sys as _sys
+
+    root, cfg_path = workdir
+    final = os.path.join(str(root / "exp" / "tiny"), "checkpoint-final.ckpt")
+    if not os.path.exists(final):  # standalone invocation
+        from audiodec_tpu.bin import codec_train
+        codec_train.main(["--config", cfg_path,
+                          "--tag", str(root / "exp" / "tiny")])
+    d1 = root / "coll_a"
+    d2 = root / "coll_b"
+    d1.mkdir(exist_ok=True)
+    d2.mkdir(exist_ok=True)
+    shutil.copy(str(root / "corpus" / "test" / "test0.wav"),
+                str(d1 / "same.wav"))
+    shutil.copy(str(root / "corpus" / "test" / "test1.wav"),
+                str(d2 / "same.wav"))
+    feed = [str(d1 / "same.wav"), str(d2 / "same.wav"),
+            str(d1 / "same.wav")]  # repeat: same src keeps its path
+    outdir = str(root / "coll_out")
+
+    from audiodec_tpu.bin import codec_serve
+    capsys.readouterr()
+    monkeypatch.setattr(_sys, "stdin", io.StringIO("\n".join(feed) + "\n"))
+    codec_serve.main(["--encoder", final, "--decoder", final,
+                      "--outdir", outdir, "--stdin", "--dtype", "float32",
+                      "--warmup-seconds", "0", "--batch-size", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    outs = [l["output"] for l in lines if "output" in l]
+    assert len(outs) == 3
+    assert outs[0] == os.path.join(outdir, "same_output.wav")
+    assert outs[1] == os.path.join(outdir, "same_output.2.wav")
+    assert outs[2] == outs[0]  # same source re-transcoded -> same path
+    assert sorted(os.listdir(outdir)) == ["same_output.2.wav",
+                                          "same_output.wav"]

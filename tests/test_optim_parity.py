@@ -16,7 +16,7 @@ import torch
 from audiodec_tpu.train.optim import make_optimizer
 
 
-def _run_pair(config, role, steps, shapes, seed=0):
+def _run_pair(config, role, steps, shapes, seed=0, atol=1e-7):
     rng = np.random.default_rng(seed)
     params0 = [rng.standard_normal(s).astype(np.float32) for s in shapes]
     grads = [[rng.standard_normal(s).astype(np.float32) for s in shapes]
@@ -26,7 +26,8 @@ def _run_pair(config, role, steps, shapes, seed=0):
     tparams = [torch.nn.Parameter(torch.tensor(p.copy())) for p in params0]
     opt_params = dict(config[f"{role}_optimizer_params"])
     lr = opt_params.pop("lr")
-    topt = torch.optim.Adam(tparams, lr=lr, **opt_params)
+    tcls = getattr(torch.optim, config.get(f"{role}_optimizer_type", "Adam"))
+    topt = tcls(tparams, lr=lr, **opt_params)
     sp = config[f"{role}_scheduler_params"]
     if config[f"{role}_scheduler_type"] == "StepLR":
         tsched = torch.optim.lr_scheduler.StepLR(topt, **sp)
@@ -54,7 +55,7 @@ def _run_pair(config, role, steps, shapes, seed=0):
     ours = [np.asarray(p) for p in params]
 
     for i, (a, b) in enumerate(zip(ours, torch_out)):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7,
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=atol,
                                    err_msg=f"param {i} after {steps} steps")
 
 
@@ -96,6 +97,36 @@ def test_adam_grad_clip_parity():
         "generator_grad_norm": 0.5,
     }
     _run_pair(config, "generator", steps=4, shapes=SHAPES, seed=2)
+
+
+def test_adamw_decoupled_decay_clip_parity():
+    """torch.optim.AdamW oracle: decoupled weight decay (not L2-on-grad),
+    eps honored, grad clipping honored — the exact semantics the AdamW
+    factory branch must reproduce (no reference config uses AdamW; this
+    guards the config-driven path against silent drift)."""
+    config = {
+        "generator_optimizer_type": "AdamW",
+        "generator_optimizer_params": {"lr": 3e-3, "betas": [0.8, 0.95],
+                                       "weight_decay": 0.05, "eps": 1e-6},
+        "generator_scheduler_type": "StepLR",
+        "generator_scheduler_params": {"step_size": 2, "gamma": 0.5},
+        "generator_grad_norm": 0.75,
+    }
+    _run_pair(config, "generator", steps=6, shapes=SHAPES, seed=5)
+
+
+def test_adamw_default_decay_parity():
+    """AdamW with no explicit weight_decay must match torch's 1e-2 default."""
+    config = {
+        "generator_optimizer_type": "AdamW",
+        "generator_optimizer_params": {"lr": 1e-2, "betas": [0.9, 0.999]},
+        "generator_scheduler_type": "StepLR",
+        "generator_scheduler_params": {"step_size": 10, "gamma": 1.0},
+        "generator_grad_norm": -1,
+    }
+    # torch applies decay as p *= (1 - lr*wd) before the Adam add; optax
+    # sums the decay into the update — same math, one-rounding different.
+    _run_pair(config, "generator", steps=4, shapes=SHAPES, seed=6, atol=5e-7)
 
 
 def test_reference_config_schedules_parity():

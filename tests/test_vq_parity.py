@@ -15,6 +15,7 @@ from audiodec_tpu.ops.vq import (
     rvq_init,
     rvq_lookup,
     vq_nearest,
+    vq_nearest_2pass,
 )
 
 RNG = np.random.default_rng(42)
@@ -49,6 +50,43 @@ def test_nearest_ties_lowest_index():
                         .astype(np.float32))
     z = jnp.ones((1, D), dtype=jnp.float32)
     assert int(vq_nearest(z, embed)[0]) == 0
+
+
+def test_nearest_2pass_equals_single_pass_on_cpu():
+    """On CPU every precision is true f32, so the two-pass shortlist
+    re-score must reproduce the single-pass argmin exactly (the modes only
+    diverge on TPU hardware, where pass 2 restores f32 multiplies)."""
+    rng = np.random.default_rng(7)
+    embed = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    z = jnp.asarray(rng.standard_normal((3, 11, D)).astype(np.float32))
+    for k in (1, 4, 16, N):
+        np.testing.assert_array_equal(
+            np.asarray(vq_nearest_2pass(z, embed, k=k)),
+            np.asarray(vq_nearest(z, embed)))
+
+
+def test_nearest_2pass_ties_lowest_index():
+    """Exact-tie candidates resolve to the lowest codebook index, matching
+    torch's (-dist).max(1) first-maximal rule even when top_k ordered the
+    shortlist differently."""
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((N, D)).astype(np.float32)
+    base[9] = base[3]  # duplicate rows -> exact distance ties
+    base[21] = base[3]
+    embed = jnp.asarray(base)
+    z = jnp.asarray(base[3][None] + 1e-3)
+    assert int(vq_nearest_2pass(z, embed, k=8)[0]) == 3
+
+
+def test_forward_index_exact_k_matches_oracle(params):
+    """exact_k routes every layer through the two-pass argmin; indices and
+    zq must still match the torch oracle bit-for-bit on CPU."""
+    z = RNG.standard_normal((2, 5, D)).astype(np.float32)
+    zq_ref, idx_ref = torch_vq_forward_index(z, np.asarray(params["embed"]))
+    zq, idx = rvq_forward_index(jnp.asarray(z), params, exact_k=8)
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1, Q), idx_ref)
+    np.testing.assert_allclose(np.asarray(zq).reshape(-1, D), zq_ref,
+                               rtol=0, atol=1e-6)
 
 
 @pytest.mark.parametrize("flatten", [False, True])

@@ -52,22 +52,41 @@ def main():
     ref = data["idx_stream"]  # (Q, frames), flattened with q*N offsets
     offs = (np.arange(q) * cfg.codebook_size)[None, None, :]
 
-    def encode(x, dtype):
+    import contextlib
+
+    def encode(x, dtype, enc_prec=None, exact_k=None):
         p = jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
             {"encoder": params["encoder"], "projector": params["projector"]})
-        h = encoder_apply(p["encoder"], x.astype(dtype), cfg)
-        z = projector_apply(p["projector"], h, cfg)
+        scope = (jax.default_matmul_precision(enc_prec) if enc_prec
+                 else contextlib.nullcontext())
+        with scope:
+            h = encoder_apply(p["encoder"], x.astype(dtype), cfg)
+            z = projector_apply(p["projector"], h, cfg)
         _, idx = rvq_forward_index(z.astype(jnp.float32),
-                                   params["quantizer"])
+                                   params["quantizer"], exact_k=exact_k)
         return idx
 
-    for mode, dtype, prec in (("f32_default", jnp.float32, None),
-                              ("bf16", jnp.bfloat16, None),
-                              ("f32_highest", jnp.float32, "highest")):
+    # The flip matrix: where do the flips come from (encoder bf16-multiply
+    # convs perturbing z vs the RVQ distance matmul), and what is the
+    # cheapest 0-flip configuration?  enc_prec scopes ONLY the
+    # encoder+projector; exact_k adds the two-pass argmin re-score.
+    modes = (
+        ("f32_default", jnp.float32, None, None, None),
+        ("bf16", jnp.bfloat16, None, None, None),
+        ("f32_2pass_k16", jnp.float32, None, None, 16),
+        ("f32_2pass_k64", jnp.float32, None, None, 64),
+        ("f32_enc_high_2pass", jnp.float32, None, "high", 16),
+        ("f32_enc_highest", jnp.float32, None, "highest", None),
+        ("f32_enc_highest_2pass", jnp.float32, None, "highest", 16),
+        ("f32_highest", jnp.float32, "highest", None, None),
+    )
+    for mode, dtype, prec, enc_prec, exact_k in modes:
         if prec:
             jax.config.update("jax_default_matmul_precision", prec)
-        idx = np.asarray(jax.jit(lambda x, d=dtype: encode(x, d))(x))
+        idx = np.asarray(jax.jit(
+            lambda x, d=dtype, ep=enc_prec, ek=exact_k:
+            encode(x, d, ep, ek))(x))
         if prec:
             jax.config.update("jax_default_matmul_precision", None)
         flat = (idx[0] + offs[0]).T  # (Q, frames)
