@@ -168,10 +168,30 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
                          in_specs=(P(), wav_spec), out_specs=idx_spec,
                          check_vma=False)(enc_params, x)
 
+    def dec_head(params, idx_head):
+        """Exact batch-semantics decode of the utterance head.  Shard 0's
+        zero halo reproduces zero left-padding, which is right for every
+        causal conv but NOT for batch-mode CausalConvTranspose1d — the
+        reference's forward() left-pads by REPLICATING the first input
+        frame (ref: layers/conv_layer.py:184-197), so the first ~rf of
+        output diverges.  Causality makes the fix exact: decoding the
+        first 2*h_dec code frames unsharded reproduces the batch path's
+        first h_dec*hop samples bit-for-bit."""
+        zq = rvq_lookup(idx_head, params["quantizer"]).astype(dec_dtype)
+        if vocoder is None:
+            y = decoder_apply(params["decoder"], zq, cfg)
+        else:
+            y = vocoder_apply(params["voc"], zq, voc_cfg)
+        return y[:, :h_dec * hop, :].astype(jnp.float32)
+
     @jax.jit
     def decode(idx):
-        return shard_map(dec_local, mesh=mesh,
-                         in_specs=(P(), idx_spec), out_specs=wav_spec,
-                         check_vma=False)(dec_params, idx)
+        y = shard_map(dec_local, mesh=mesh,
+                      in_specs=(P(), idx_spec), out_specs=wav_spec,
+                      check_vma=False)(dec_params, idx)
+        n_head = min(2 * h_dec, idx.shape[1])
+        head = dec_head(dec_params, idx[:, :n_head, :])
+        return jax.lax.dynamic_update_slice(
+            y, head[:, :min(h_dec * hop, y.shape[1]), :], (0, 0, 0))
 
     return encode, decode

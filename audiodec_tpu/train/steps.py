@@ -233,14 +233,23 @@ def make_vocoder_steps(voc_cfg: VocoderConfig, gen_cfg: GeneratorConfig,
         record["generator_loss"] = loss
         return loss, record
 
+    # stats normalization mean/scale are torch BUFFERS (registered by
+    # register_stats, ref models/vocoder/HiFiGAN.py:206-219), never
+    # optimizer-driven — freeze them like the reference does implicitly
+    stats_frozen = tuple(k for k in ("mean", "scale"))
+
     def _gen_update(state, zq, x, adversarial):
         (loss, record), grads = jax.value_and_grad(
             gen_loss, has_aux=True)(state["gen"], state["disc"], zq, x,
                                     adversarial)
+        grads = _zero_subtrees(
+            grads, [k for k in stats_frozen if k in grads])
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, gen_opt_state = gen_opt.update(grads, state["gen_opt"],
                                                 state["gen"])
+        updates = _zero_subtrees(
+            updates, [k for k in stats_frozen if k in updates])
         gen = optax.apply_updates(state["gen"], updates)
         return dict(state, gen=gen, gen_opt=gen_opt_state), record
 

@@ -138,28 +138,72 @@ def import_autoencoder(sd: Dict[str, np.ndarray], cfg) -> dict:
             "decoder": dec}
 
 
-def import_vocoder(sd: Dict[str, np.ndarray], cfg) -> dict:
+def _conv_wn1d(sd, prefix):
+    """Torch weight-normed Conv1d (weight_v (O,I,K), weight_g (O,1,1),
+    dim=0) -> our {"v","g","b"} with both tensors permuted to (K,I,O); g
+    lands at (1,1,O) so _resolve_weight_norm reduces (K,I) per output —
+    exactly torch's dims != 0."""
+    v = np.transpose(np.asarray(sd[prefix + ".weight_v"], np.float32),
+                     (2, 1, 0))
+    g = np.transpose(np.asarray(sd[prefix + ".weight_g"], np.float32),
+                     (2, 1, 0))
+    p = {"v": jnp.asarray(v), "g": jnp.asarray(g)}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[prefix + ".bias"], np.float32))
+    return p
+
+
+def _convT_wn1d(sd, prefix):
+    """Torch weight-normed ConvTranspose1d (weight_v (I,O,K), weight_g
+    (I,1,1), dim=0 = INPUT channels) -> our gathering (K,I,O) layout with
+    the kernel flip applied to v; g lands at (1,I,1) (input axis
+    preserved, matching apply_weight_norm_tree's transposed_paths)."""
+    v = np.asarray(sd[prefix + ".weight_v"], np.float32)
+    v = np.transpose(v[:, :, ::-1].copy(), (2, 0, 1))
+    g = np.asarray(sd[prefix + ".weight_g"], np.float32)
+    g = np.transpose(g, (2, 0, 1))
+    p = {"v": jnp.asarray(v), "g": jnp.asarray(g)}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[prefix + ".bias"], np.float32))
+    return p
+
+
+def import_vocoder(sd: Dict[str, np.ndarray], cfg, fold: bool = True) -> dict:
     """Reference HiFiGAN Generator state_dict -> vocoder params pytree
-    (key scheme per ref models/vocoder/HiFiGAN.py:84-123)."""
-    sd = fold_weight_norm(sd)
+    (key scheme per ref models/vocoder/HiFiGAN.py:84-123).
+
+    fold=True folds torch weight_g/weight_v into plain kernels (inference);
+    fold=False preserves the reparametrization as {"v","g","b"} dicts so
+    optimizer trajectories over g/v match torch training exactly."""
+    if fold:
+        sd = fold_weight_norm(sd)
+        conv, convT = _conv, _convT
+    else:
+        def conv(s, prefix, bias=True):
+            return (_conv_wn1d(s, prefix) if prefix + ".weight_v" in s
+                    else _conv(s, prefix, bias))
+
+        def convT(s, prefix, bias=True):
+            return (_convT_wn1d(s, prefix) if prefix + ".weight_v" in s
+                    else _convT(s, prefix, bias))
     p = {
-        "input_conv": _conv(sd, "input_conv.conv"),
+        "input_conv": conv(sd, "input_conv.conv"),
         "upsamples": [],
         "blocks": [],
-        "output_conv": _conv(sd, "output_conv.conv"),
+        "output_conv": conv(sd, "output_conv.conv"),
     }
     for i in range(len(cfg.upsample_scales)):
-        p["upsamples"].append(_convT(sd, f"upsamples.{i}.deconv"))
+        p["upsamples"].append(convT(sd, f"upsamples.{i}.deconv"))
         pre = f"blocks.{i}"
         if cfg.grouped:
             blk = {
-                "convs1": [_conv(sd, f"{pre}.convs1.{j}.conv")
+                "convs1": [conv(sd, f"{pre}.convs1.{j}.conv")
                            for j in range(len(cfg.resblock_dilations[0]))],
-                "conv_out": _conv(sd, f"{pre}.conv_out"),
+                "conv_out": conv(sd, f"{pre}.conv_out"),
             }
             if cfg.use_additional_convs:
                 blk["convs2"] = [
-                    _conv(sd, f"{pre}.convs2.{j}.conv")
+                    conv(sd, f"{pre}.convs2.{j}.conv")
                     for j in range(len(cfg.resblock_dilations[0]))]
             else:
                 blk["convs2"] = []
@@ -169,13 +213,13 @@ def import_vocoder(sd: Dict[str, np.ndarray], cfg) -> dict:
             for b in range(len(cfg.resblock_kernel_sizes)):
                 blk = {
                     "convs1": [
-                        _conv(sd, f"{pre}.blocks.{b}.convs1.{j}.conv")
+                        conv(sd, f"{pre}.blocks.{b}.convs1.{j}.conv")
                         for j in range(len(cfg.resblock_dilations[b]))],
                     "convs2": [],
                 }
                 if cfg.use_additional_convs:
                     blk["convs2"] = [
-                        _conv(sd, f"{pre}.blocks.{b}.convs2.{j}.conv")
+                        conv(sd, f"{pre}.blocks.{b}.convs2.{j}.conv")
                         for j in range(len(cfg.resblock_dilations[b]))]
                 blocks.append(blk)
             p["blocks"].append({"blocks": blocks})
