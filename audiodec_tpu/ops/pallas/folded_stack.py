@@ -108,7 +108,7 @@ def res_stack_params(block_params: dict) -> Tuple:
 @partial(jax.jit, static_argnames=("dilations", "kernel_size",
                                    "kernel_size2", "act", "act_param",
                                    "tile_rows", "bf16_dots", "int8_dots",
-                                   "fold", "interpret"))
+                                   "int8_scale", "fold", "interpret"))
 def folded_residual_stack(x, unit_params: Tuple, *,
                           dilations: Tuple[int, ...] = (1, 3, 9),
                           kernel_size: int = 7,
@@ -119,6 +119,7 @@ def folded_residual_stack(x, unit_params: Tuple, *,
                           tile_rows: int = DEFAULT_TILE_ROWS,
                           bf16_dots: bool = True,
                           int8_dots: bool = False,
+                          int8_scale: str = "row",
                           fold: int = 0,
                           interpret: bool = False):
     """Apply a chain of causal residual units, fused, in folded-time layout.
@@ -153,6 +154,15 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     row scales make a shared int32 accumulator across offsets incorrect).
     Indices/encoder are untouched by this mode — it is decode-side only;
     quality deltas are measured in BENCHMARKS.md.  Overrides bf16_dots.
+
+    int8_scale: "row" = per-folded-row dynamic activation scales (safest;
+    each offset's int32 partial must be dequantized separately, VPU-bound —
+    measured at folded-bf16 speed, BENCHMARKS round 2).  "tile" = ONE
+    scalar activation scale per tile: all offsets accumulate in int32 and
+    dequantize ONCE per conv (the round-2 named unexplored lever), trading
+    quantization granularity for the removal of the per-offset VPU dequant.
+    int32 is safe: |q|,|w| <= 127, K = 128 lanes, <= 25 offsets ->
+    |acc| <= 5.3e7 << 2^31.
     """
     b, t, c = x.shape
     k = kernel_size
@@ -278,7 +288,18 @@ def folded_residual_stack(x, unit_params: Tuple, *,
 
         def conv_folded(y, w_ref, offs, span, out_len, scale_row):
             """Offset-sum folded conv.  y: pre-activated f32 input.
-            scale_row: per-row dequant scales (len(y), 1) in int8 mode."""
+            scale_row: per-row dequant scales (len(y), 1) in int8 "row"
+            mode, a (1, 1) scalar in "tile" mode."""
+            if int8_dots and int8_scale == "tile":
+                acc = None
+                for i, o in enumerate(offs):
+                    s = o + span
+                    d_ = jax.lax.dot_general(
+                        y[s:s + out_len, :], w_ref[i],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = d_ if acc is None else acc + d_
+                return acc.astype(jnp.float32) * scale_row
             if int8_dots:
                 acc = None
                 for i, o in enumerate(offs):
@@ -301,8 +322,12 @@ def folded_residual_stack(x, unit_params: Tuple, *,
             return acc
 
         def quantize(y):
-            """f32 (rows, FC) -> (int8 rows, per-row dequant scale)."""
-            s_x = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+            """f32 (rows, FC) -> (int8 rows, dequant scale): per-row
+            (rows, 1) scales, or one (1, 1) scalar in "tile" mode."""
+            if int8_scale == "tile":
+                s_x = jnp.max(jnp.abs(y)).reshape(1, 1)
+            else:
+                s_x = jnp.max(jnp.abs(y), axis=1, keepdims=True)
             r = 127.0 / jnp.maximum(s_x, 1e-12)
             q = jnp.round(y * r).astype(jnp.int8)
             return q, s_x * (1.0 / 127.0)

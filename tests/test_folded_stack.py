@@ -266,3 +266,11 @@ def test_int8_folded_stack_close_to_f32():
         assert rel < 2e-3, f"C={C}: int8 rel err {rel:.2e}"
         # exact zero propagation before t=0 is preserved (no bias case)
         assert np.isfinite(out).all()
+        # scalar-per-tile activation scale (int32 offset accumulation):
+        # coarser quantization, same contract (measured slightly larger
+        # deviation; hardware A/B in tools/folded_probe.py --int8)
+        outt = np.asarray(folded_residual_stack(
+            x, res_stack_params(bp), interpret=True, int8_dots=True,
+            int8_scale="tile"))
+        relt = np.abs(outt - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert relt < 5e-3, f"C={C}: int8-tile rel err {relt:.2e}"

@@ -97,6 +97,14 @@ def main():
                                              int8_dots=True, fold=f,
                                              tile_rows=tile)
 
+            def fused_i8t(x, f=f, tile=tile):
+                # scalar-per-tile activation scale: int32 accumulation
+                # across offsets, ONE dequant per conv
+                return folded_residual_stack(x, kp, dilations=dils,
+                                             int8_dots=True,
+                                             int8_scale="tile", fold=f,
+                                             tile_rows=tile)
+
             def rel_err(yb):
                 return float(jnp.max(jnp.abs(ya.astype(jnp.float32)
                                              - yb.astype(jnp.float32)))
@@ -119,6 +127,11 @@ def main():
                 t_i8 = time_fn(fused_i8, x0)
                 rec["int8_ms"] = round(t_i8 * 1e3, 2)
                 rec["int8_speedup_vs_xla"] = round(t_xla / t_i8, 2)
+                yqt = jax.jit(fused_i8t)(x0)
+                rec["int8t_rel_err"] = float(f"{rel_err(yqt):.3e}")
+                t_i8t = time_fn(fused_i8t, x0)
+                rec["int8t_ms"] = round(t_i8t * 1e3, 2)
+                rec["int8t_speedup_vs_xla"] = round(t_xla / t_i8t, 2)
             print(json.dumps(rec), flush=True)
 
 
