@@ -53,10 +53,8 @@ N = args.hops
 
 voc_cfg = None
 if args.decoder != "sym":
-    import yaml
-
     from audiodec_tpu.models.vocoder import vocoder_init
-    from audiodec_tpu.utils.config import generator_config
+    from audiodec_tpu.utils.config import generator_config, load_config
 
     VOC_YAML = {
         "v0": "configs/vocoder/AudioDec_v0_symAD_vctk_48000_hop300_clean.yaml",
@@ -64,8 +62,8 @@ if args.decoder != "sym":
         "v2": "configs/vocoder/AudioDec_v2_symAD_vctk_48000_hop300_clean.yaml",
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, VOC_YAML[args.decoder])) as f:
-        vc = yaml.safe_load(f)
+    # load_config resolves `inherit:` (v0/v2 extend the v1 yaml)
+    vc = load_config(os.path.join(root, VOC_YAML[args.decoder]))
     voc_cfg = generator_config(vc)
     params = dict(params)
     params["vocoder"] = vocoder_init(jax.random.PRNGKey(1), voc_cfg)
