@@ -372,13 +372,15 @@ def main(argv=None):
     parser.add_argument("--precision", default="default",
                         choices=["default", "exact", "highest"],
                         help="exact = hardware-bit-exact RVQ indices at "
-                             "near-mixed cost: the encoder traces at "
-                             "highest matmul precision and the RVQ argmin "
-                             "runs the two-pass shortlist re-score, while "
-                             "the decoder keeps its fast dtype (the "
+                             "the cheapest measured cost (1.87x default "
+                             "encode, tools/flip_probe.py round 3): the "
+                             "encoder traces at 'high' matmul precision "
+                             "(3-pass bf16) and the RVQ argmin runs the "
+                             "two-pass shortlist re-score, while the "
+                             "decoder keeps its fast dtype (the "
                              "recommended parity configuration; single-"
                              "host only).  highest = true-f32 multiplies "
-                             "for the WHOLE graph (slower; forces "
+                             "for the WHOLE graph (2.6x; forces "
                              "--stack xla)")
     parser.add_argument("--exact-k", type=int, default=16,
                         help="two-pass argmin shortlist size for "
@@ -426,7 +428,11 @@ def main(argv=None):
         if args.dtype == "bfloat16":
             parser.error("--precision exact needs an f32 encoder "
                          "(--dtype float32, mixed, or int8-decode)")
-        exact_k, enc_precision = args.exact_k, "highest"
+        # 'high' (3-pass bf16) measures 0/1280 flips WITH the two-pass
+        # argmin at 1.87x default cost, vs 2.59x for 'highest'
+        # (tools/flip_probe.py round 3: default-precision z perturbation
+        # causes most flips; the argmin re-score alone fixes only 17/56)
+        exact_k, enc_precision = args.exact_k, "high"
 
     dtype = (jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     dec_dtype = (jnp.bfloat16 if args.dtype in ("mixed", "int8-decode")

@@ -106,10 +106,12 @@ def test_mixed_dtype_transcode_indices_match_f32():
 
 
 def test_exact_precision_transcode_indices_match_f32():
-    """--precision exact (highest-precision encoder + two-pass RVQ argmin,
-    fast decoder) produces exactly the default-path indices on CPU, where
-    every precision is already true f32 — pinning that the mode changes
-    nothing except hardware numerics."""
+    """--precision exact ('high'-precision encoder + two-pass RVQ argmin,
+    fast decoder; the CLI's round-3 configuration, 0/1280 hardware flips
+    at 1.87x default cost per tools/flip_probe.py) produces exactly the
+    default-path indices on CPU, where every precision is already true
+    f32 — pinning that the mode changes nothing except hardware
+    numerics.  Both encoder scopes are exercised."""
     from audiodec_tpu.bin.codec_test import BatchTranscoder
 
     params = generator_init(jax.random.PRNGKey(5), CFG)
@@ -117,11 +119,12 @@ def test_exact_precision_transcode_indices_match_f32():
          .standard_normal((2, 4 * 300, 1))).astype(np.float32)
 
     full = BatchTranscoder(params, CFG, stack="xla")
-    exact = BatchTranscoder(params, CFG, stack="xla",
-                            dec_dtype=jnp.bfloat16, exact_k=16,
-                            enc_precision="highest")
     idx_f, y_f = full(x)
-    idx_e, y_e = exact(x)
-    np.testing.assert_array_equal(np.asarray(idx_e), np.asarray(idx_f))
-    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_f),
-                               rtol=0.05, atol=0.05)
+    for prec in ("high", "highest"):
+        exact = BatchTranscoder(params, CFG, stack="xla",
+                                dec_dtype=jnp.bfloat16, exact_k=16,
+                                enc_precision=prec)
+        idx_e, y_e = exact(x)
+        np.testing.assert_array_equal(np.asarray(idx_e), np.asarray(idx_f))
+        np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_f),
+                                   rtol=0.05, atol=0.05)

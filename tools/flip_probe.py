@@ -32,6 +32,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--modes", nargs="+", default=None,
+                    help="subset of mode names to run (remote compiles are "
+                         "minutes each; the full matrix can exceed a "
+                         "tunnel session budget)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -76,25 +80,59 @@ def main():
         ("bf16", jnp.bfloat16, None, None, None),
         ("f32_2pass_k16", jnp.float32, None, None, 16),
         ("f32_2pass_k64", jnp.float32, None, None, 64),
+        ("f32_enc_high", jnp.float32, None, "high", None),
         ("f32_enc_high_2pass", jnp.float32, None, "high", 16),
         ("f32_enc_highest", jnp.float32, None, "highest", None),
         ("f32_enc_highest_2pass", jnp.float32, None, "highest", 16),
         ("f32_highest", jnp.float32, "highest", None, None),
     )
+    # cost measurement: the encode side (encoder+projector+RVQ) on a
+    # B=16 x 10 s batch, on-device fori_loop (bench.py methodology), so
+    # each mode's flip count is paired with its relative cost
+    import time as _time
+
+    xt = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (16, 480000, 1),
+                                 jnp.float32)
+
+    def time_mode(dtype, enc_prec, exact_k, iters=8):
+        @jax.jit
+        def loop(xb):
+            def body(i, s):
+                idx = encode(xb + s.astype(xb.dtype), dtype, enc_prec,
+                             exact_k)
+                return 1e-20 * idx.ravel()[0].astype(jnp.float32) + 0.0 * s
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        float(loop(xt))
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            float(loop(xt))
+            best = min(best, (_time.perf_counter() - t0) / iters)
+        return best * 1e3
+
+    base_ms = None
     for mode, dtype, prec, enc_prec, exact_k in modes:
+        if args.modes and mode not in args.modes and mode != "f32_default":
+            continue
         if prec:
             jax.config.update("jax_default_matmul_precision", prec)
         idx = np.asarray(jax.jit(
             lambda x, d=dtype, ep=enc_prec, ek=exact_k:
             encode(x, d, ep, ek))(x))
+        ms = time_mode(dtype, enc_prec, exact_k)
         if prec:
             jax.config.update("jax_default_matmul_precision", None)
+        if base_ms is None:
+            base_ms = ms
         flat = (idx[0] + offs[0]).T  # (Q, frames)
         flips = int((flat != ref).sum())
         total = int(ref.size)
         print(json.dumps({
             "mode": mode, "flips": flips, "total": total,
             "flip_rate": round(flips / total, 5),
+            "encode_ms": round(ms, 2),
+            "cost_vs_default": round(ms / base_ms, 3),
             "backend": jax.default_backend(),
         }), flush=True)
 
