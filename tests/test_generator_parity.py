@@ -33,6 +33,7 @@ CFGS = {
         codebook_size=32),
     "gen_symad": GeneratorConfig(),
     "gen_symad_trained": GeneratorConfig(),
+    "gen_denoise_trained": GeneratorConfig(),
     "gen_symaad": GeneratorConfig(
         encode_channels=4, decode_channels=4, code_dim=16, codebook_num=4,
         codebook_size=32, codec="activate_audiodec"),
@@ -65,7 +66,8 @@ def test_forward_parity(name):
 
 
 @pytest.mark.parametrize("name", ["gen_small", "gen_symad",
-                                  "gen_symad_trained"])
+                                  "gen_symad_trained",
+                                  "gen_denoise_trained"])
 def test_streaming_parity_bit_exact_indices(name):
     """Streaming encode -> indices must be bit-exact vs the reference
     (BASELINE.json north star)."""
@@ -231,6 +233,31 @@ def test_trained_weights_forward_and_snr():
 
     # decoded-SNR vs the reference decode (BASELINE.json north star):
     # our waveform must be indistinguishable from torch's decode
+    ref = data["y_stream"][0, 0]
+    state = codec_state_init(1, cfg)
+    idx, st = generator_encode(params, x, cfg, state=state)
+    ours, _ = generator_decode(params, idx, cfg,
+                               state={"decoder": st.get("decoder",
+                                                        state["decoder"])})
+    ours = np.asarray(ours)[0, :, 0]
+    err = ours - ref
+    snr_db = 10 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-30))
+    assert snr_db > 50.0, f"SNR vs torch decode too low: {snr_db:.1f} dB"
+
+
+def test_trained_denoise_checkpoint_snr():
+    """Trained DENOISE-mode checkpoint parity: the golden was produced by
+    the reference's own denoise Trainer (tools/ref_train.py with
+    tools/ref_configs/denoise_short.yaml — 500 steps of encoder-only
+    fine-tuning on noisy->clean pairs, warm-started from the 10k-step
+    symAD_long checkpoint; ref trainer/denoise.py:43-49 freeze
+    semantics), then dumped on held-out NOISY audio.  Bit-exact indices
+    ride test_streaming_parity_bit_exact_indices; here: decode SNR vs
+    torch and the schedule markers."""
+    data, cfg, params = load_case("gen_denoise_trained")
+    assert int(data["trained_steps"]) == 500
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+
     ref = data["y_stream"][0, 0]
     state = codec_state_init(1, cfg)
     idx, st = generator_encode(params, x, cfg, state=state)
