@@ -32,6 +32,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--golden", default="gen_symad_trained",
+                    help="tests/golden/<name>.npz trained golden to "
+                         "measure (e.g. gen_symad_trained_12k)")
     ap.add_argument("--modes", nargs="+", default=None,
                     help="subset of mode names to run (remote compiles are "
                          "minutes each; the full matrix can exceed a "
@@ -46,7 +49,7 @@ def main():
     from audiodec_tpu.utils.torch_import import import_autoencoder
 
     data = np.load(os.path.join(REPO, "tests", "golden",
-                                "gen_symad_trained.npz"))
+                                args.golden + ".npz"))
     sd = {k[len("sd__"):]: data[k] for k in data.files
           if k.startswith("sd__")}
     cfg = GeneratorConfig()
