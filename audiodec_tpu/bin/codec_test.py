@@ -379,7 +379,11 @@ def main(argv=None):
                              "two-pass shortlist re-score, while the "
                              "decoder keeps its fast dtype (the "
                              "recommended parity configuration; single-"
-                             "host only).  highest = true-f32 multiplies "
+                             "host only).  NOTE exactness is EMPIRICALLY "
+                             "validated (0-flip on the measured "
+                             "checkpoints/sessions; 'high' is not "
+                             "mathematically f32) — 'highest' is the "
+                             "conservative fallback: true-f32 multiplies "
                              "for the WHOLE graph (2.6x; forces "
                              "--stack xla)")
     parser.add_argument("--exact-k", type=int, default=16,

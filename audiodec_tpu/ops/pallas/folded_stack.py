@@ -161,8 +161,12 @@ def folded_residual_stack(x, unit_params: Tuple, *,
     scalar activation scale per tile: all offsets accumulate in int32 and
     dequantize ONCE per conv (the round-2 named unexplored lever), trading
     quantization granularity for the removal of the per-offset VPU dequant.
-    int32 is safe: |q|,|w| <= 127, K = 128 lanes, <= 25 offsets ->
-    |acc| <= 5.3e7 << 2^31.
+    int32 is safe but the margin is modest: each dot contracts over
+    FC = fold*C (up to 2048 for a 512-channel stack at fold 4), and all
+    <= 25 offsets share one accumulator, so worst case
+    |acc| <= 127^2 * 2048 * 25 ~= 8.3e8 — inside int32 (2^31 ~= 2.1e9)
+    with only ~2.6x headroom.  A wider config or larger fold*C*offsets
+    product must re-check 127^2 * fold * C * n_offsets < 2^31.
     """
     b, t, c = x.shape
     k = kernel_size

@@ -170,13 +170,18 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
 
     def dec_head(params, idx_head):
         """Exact batch-semantics decode of the utterance head.  Shard 0's
-        zero halo reproduces zero left-padding, which is right for every
-        causal conv but NOT for batch-mode CausalConvTranspose1d — the
-        reference's forward() left-pads by REPLICATING the first input
-        frame (ref: layers/conv_layer.py:184-197), so the first ~rf of
-        output diverges.  Causality makes the fix exact: decoding the
-        first 2*h_dec code frames unsharded reproduces the batch path's
-        first h_dec*hop samples bit-for-bit."""
+        halo is wrong for TWO independent reasons: (a) the ppermute
+        zero-fill gives INDEX 0, and rvq_lookup maps index 0 to
+        codebook-entry-0 embeddings — not the zero activations the batch
+        path's zero left-padding produces — so the head diverges for
+        every conv type, causal included; (b) batch-mode
+        CausalConvTranspose1d additionally left-pads by REPLICATING the
+        first input frame (ref: layers/conv_layer.py:184-197) rather
+        than zeros.  Do not shrink this patch for a transposed-conv-free
+        decoder — reason (a) alone requires it.  Causality makes the fix
+        exact: decoding the first 2*h_dec code frames unsharded
+        reproduces the batch path's first h_dec*hop samples
+        bit-for-bit."""
         zq = rvq_lookup(idx_head, params["quantizer"]).astype(dec_dtype)
         if vocoder is None:
             y = decoder_apply(params["decoder"], zq, cfg)

@@ -29,8 +29,11 @@ def _run_pair(config, role, steps, shapes, seed=0, atol=1e-7):
     tcls = getattr(torch.optim, config.get(f"{role}_optimizer_type", "Adam"))
     topt = tcls(tparams, lr=lr, **opt_params)
     sp = config[f"{role}_scheduler_params"]
-    if config[f"{role}_scheduler_type"] == "StepLR":
+    sched_type = config[f"{role}_scheduler_type"]
+    if sched_type == "StepLR":
         tsched = torch.optim.lr_scheduler.StepLR(topt, **sp)
+    elif sched_type == "ExponentialLR":
+        tsched = torch.optim.lr_scheduler.ExponentialLR(topt, **sp)
     else:
         tsched = torch.optim.lr_scheduler.MultiStepLR(topt, **sp)
     clip = config.get(f"{role}_grad_norm", -1)
@@ -127,6 +130,22 @@ def test_adamw_default_decay_parity():
     # torch applies decay as p *= (1 - lr*wd) before the Adam add; optax
     # sums the decay into the update — same math, one-rounding different.
     _run_pair(config, "generator", steps=4, shapes=SHAPES, seed=6, atol=5e-7)
+
+
+def test_exponentiallr_parity():
+    """torch ExponentialLR oracle: lr * gamma^count with scheduler.step()
+    after optimizer.step() (first step at base lr).  No reference config
+    uses ExponentialLR; this pins the config-driven branch
+    (train/optim.py ExponentialLR) so it isn't oracle-free."""
+    config = {
+        "generator_optimizer_type": "Adam",
+        "generator_optimizer_params": {"lr": 5e-3, "betas": [0.7, 0.95],
+                                       "weight_decay": 0.0},
+        "generator_scheduler_type": "ExponentialLR",
+        "generator_scheduler_params": {"gamma": 0.8},
+        "generator_grad_norm": -1,
+    }
+    _run_pair(config, "generator", steps=6, shapes=SHAPES, seed=7)
 
 
 def test_reference_config_schedules_parity():

@@ -96,15 +96,16 @@ def _sub(data, prefix):
             if k.startswith(prefix)}
 
 
-def _tree_close(ours, ref, lr_budget, label, skip=(), noise_q=0.999):
-    """Assert the trajectories match: a high quantile of |ours - ref| per
-    leaf must be at float-noise level (a wrong λ, eps placement, or schedule
-    off-by-one shifts the WHOLE distribution), while isolated entries may
-    diverge up to the lr budget — Adam's step-1 update is ±lr·sign(g), so a
-    near-zero cross-framework gradient can legitimately flip one element's
-    direction (measured: 1 element in 2.9M at 3 steps).  On leaves small
-    enough that the quantile IS the max, the quantile gate falls back to
-    q99 (the max is still bounded by the lr budget below)."""
+def _tree_close(ours, ref, lr_budget, label, skip=()):
+    """Assert the trajectories match: the q99 of |ours - ref| per leaf must
+    be at float-noise level (<=5e-6; a wrong λ, eps placement, or schedule
+    off-by-one shifts the WHOLE distribution), the median at <=5e-7, while
+    isolated entries may diverge up to the lr budget — Adam's step-1 update
+    is ±lr·sign(g), so a near-zero cross-framework gradient can
+    legitimately flip one element's direction (measured: 1 element in 2.9M
+    at 3 steps).  q99 (not q99.9) is the gate so it stays meaningful on
+    small leaves where a higher quantile would equal the max (which the lr
+    budget already bounds below)."""
     flat_o = jax.tree_util.tree_flatten_with_path(ours)[0]
     flat_r = jax.tree_util.tree_leaves(ref)
     assert len(flat_o) == len(flat_r)
@@ -120,7 +121,7 @@ def _tree_close(ours, ref, lr_budget, label, skip=(), noise_q=0.999):
         med = float(np.median(d))
         assert med <= 5e-7, (
             f"{label}{name}: median|diff|={med:.3e} — systematic divergence")
-        q = float(np.quantile(d, min(noise_q, 0.99)))
+        q = float(np.quantile(d, 0.99))
         assert q <= 5e-6, (
             f"{label}{name}: q99|diff|={q:.3e} — tail beyond float noise")
         mx = float(d.max())
