@@ -150,7 +150,17 @@ def main(argv=None):
     parser.add_argument("--stack", default="xla",
                         choices=["folded", "xla"])
     parser.add_argument("--precision", default="default",
-                        choices=["default", "highest"])
+                        choices=["default", "exact", "highest"],
+                        help="exact = hardware-bit-exact RVQ indices at "
+                             "1.87x default encode cost (encoder 'high' "
+                             "matmul precision + two-pass argmin re-score; "
+                             "empirically 0-flip, see codec_test "
+                             "--precision).  highest = true-f32 multiplies "
+                             "for the whole graph (conservative fallback, "
+                             "2.6x; forces --stack xla)")
+    parser.add_argument("--exact-k", type=int, default=16,
+                        help="two-pass argmin shortlist size for "
+                             "--precision exact")
     parser.add_argument("--warmup-seconds", type=float, default=10.0,
                         help="compile-priming transcode length; also the "
                              "time-axis bucket unit (0 skips warmup and "
@@ -164,14 +174,25 @@ def main(argv=None):
     from audiodec_tpu.data.wav import wav_is_pcm16
 
     stack = args.stack
+    exact_k = enc_precision = None
     if args.precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
         stack = "xla"
+    elif args.precision == "exact":
+        if args.dtype == "bfloat16":
+            parser.error("--precision exact needs an f32 encoder "
+                         "(--dtype float32 or mixed)")
+        # same recipe as codec_test --precision exact: encoder at 'high'
+        # (3-pass bf16) + two-pass argmin — 0/1280 flips measured at 1.87x
+        # default encode cost (tools/flip_probe.py round 3)
+        exact_k, enc_precision = args.exact_k, "high"
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     dec_dtype = jnp.bfloat16 if args.dtype == "mixed" else None
     transcoder, config = load_codec(args.encoder, args.decoder,
                                     dtype=dtype, stack=stack,
-                                    dec_dtype=dec_dtype, pcm16=True)
+                                    dec_dtype=dec_dtype, pcm16=True,
+                                    exact_k=exact_k,
+                                    enc_precision=enc_precision)
     sr_expect = config.get("sampling_rate", 48000)
     hop = transcoder.cfg.hop_length
     os.makedirs(args.outdir, exist_ok=True)

@@ -165,13 +165,25 @@ class BatchTranscoder:
     def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
                  dtype=jnp.float32, stack="xla", dec_dtype=None,
                  pcm16=False, int8_decode=False, exact_k=None,
-                 enc_precision=None):
+                 enc_precision=None, decode_fold=None):
         self.params = params
         self.cfg = cfg
         self.voc = voc
         self.mesh = mesh
         self.dtype = dtype
         dec_dtype = dtype if dec_dtype is None else dec_dtype
+        # batch-folded whole-decoder decode (models/fast.decode_batchfold,
+        # 1.55x on the bf16 decoder at production shape, round-4 probe):
+        # auto-on for bf16-class decoders on the plain-XLA single-device
+        # path; never for the f32 parity decoder (the fold changes the
+        # numeric class to bf16-reassociation level)
+        self.decode_fold = decode_fold
+        use_batchfold = (decode_fold is not False
+                         and voc is None and not int8_decode
+                         and mesh is None and stack != "folded"
+                         and dec_dtype == jnp.bfloat16
+                         and cfg.mode == "causal"
+                         and cfg.codec == "audiodec")
         use_folded = (stack == "folded" and cfg.mode == "causal"
                       and cfg.codec == "audiodec")
         enc_apply = encoder_apply_folded if use_folded else encoder_apply
@@ -254,6 +266,14 @@ class BatchTranscoder:
 
             @jax.jit
             def decode(idx):
+                if use_batchfold:
+                    from audiodec_tpu.models.fast import decode_batchfold
+                    y = decode_batchfold(
+                        dec_params, params["quantizer"], idx, cfg,
+                        dec_dtype=dec_dtype,
+                        fold=(None if decode_fold in (None, True)
+                              else decode_fold))
+                    return _pcm16(y) if pcm16 else y.astype(jnp.float32)
                 zq = rvq_lookup(idx, params["quantizer"]).astype(dec_dtype)
                 if voc is None:
                     y = dec_apply(dec_params, zq, cfg)
@@ -297,7 +317,7 @@ class BatchTranscoder:
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
                dp: int = 1, dtype=jnp.float32, stack="xla",
                dec_dtype=None, pcm16=False, int8_decode=False,
-               exact_k=None, enc_precision=None):
+               exact_k=None, enc_precision=None, decode_fold=None):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -332,7 +352,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
                            dtype=dtype, stack=stack,
                            dec_dtype=dec_dtype, pcm16=pcm16,
                            int8_decode=int8_decode, exact_k=exact_k,
-                           enc_precision=enc_precision), enc_config
+                           enc_precision=enc_precision,
+                           decode_fold=decode_fold), enc_config
 
 
 def main(argv=None):
@@ -386,6 +407,14 @@ def main(argv=None):
                              "conservative fallback: true-f32 multiplies "
                              "for the WHOLE graph (2.6x; forces "
                              "--stack xla)")
+    parser.add_argument("--decode-fold", default="auto",
+                        help="batch-folded whole-decoder decode for "
+                             "bf16-class decoders (mixed/bfloat16 modes): "
+                             "'auto' (default; fold 8 at production "
+                             "length, scaled down for short inputs — "
+                             "1.55x decoder speedup, tools/"
+                             "decfold_probe.py), 'off', or an explicit "
+                             "fold factor")
     parser.add_argument("--exact-k", type=int, default=16,
                         help="two-pass argmin shortlist size for "
                              "--precision exact (k=16 covers the measured "
@@ -441,11 +470,15 @@ def main(argv=None):
     dtype = (jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     dec_dtype = (jnp.bfloat16 if args.dtype in ("mixed", "int8-decode")
                  else None)
+    decode_fold = (None if args.decode_fold == "auto"
+                   else False if args.decode_fold == "off"
+                   else int(args.decode_fold))
     transcoder, config = load_codec(
         args.encoder, args.decoder, args.seq, args.dp,
         dtype=dtype, stack=stack, dec_dtype=dec_dtype,
         pcm16=not args.float_out, int8_decode=args.dtype == "int8-decode",
-        exact_k=exact_k, enc_precision=enc_precision)
+        exact_k=exact_k, enc_precision=enc_precision,
+        decode_fold=decode_fold)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 

@@ -104,6 +104,82 @@ def decoder_apply_folded(p, z, cfg: GeneratorConfig, interpret=None,
 
 
 # ---------------------------------------------------------------------------
+# batch-folded whole-decoder decode (round-4 lever; tools/decfold_probe.py)
+# ---------------------------------------------------------------------------
+
+def batchfold_auto(n_frames: int, target_chunk: int = 200,
+                   max_fold: int = 8) -> int:
+    """Pick the decode batch-fold factor for an n_frames-long code sequence.
+
+    F=8 at nc=200 chunk frames measured fastest on the 10 s x 48 kHz
+    production shape (1.55x over the direct decoder, tools/decfold_probe.py
+    round 4); larger F pays more redundant halo FLOPs (28-frame halo),
+    smaller F leaves the C=32 stack lane-starved.  Shorter sequences scale
+    F down to keep chunks >= ~target_chunk frames."""
+    f = 1
+    while f * 2 <= max_fold and n_frames // (f * 2) >= target_chunk:
+        f *= 2
+    return f
+
+
+def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None):
+    """Full-decoder apply with the code-frame axis folded into batch:
+    zq (B, n, D) -> chunks (B*F, n/F + halo, D) with a
+    decoder_halo_frames() left halo of REAL context (the chunk-halo recipe
+    of parallel/codec.py, reshape instead of ppermute), one decoder pass
+    at the folded batch — which re-tiles the dominant C=32 stack at the
+    output rate onto the MXU — and one output unfold.
+
+    Numeric class: the fold changes XLA's conv tiling, so outputs deviate
+    from the direct decoder at bf16-reassociation level (measured 5.2e-3
+    rel on hardware, equal quality vs the f32 anchor) — use for bf16/mixed
+    decoders, NOT for the f32 parity path.  The first halo*hop samples
+    are patched with a direct head decode because batch-mode
+    CausalConvTranspose1d left-pads by REPLICATING the first frame (ref:
+    layers/conv_layer.py:184-197), which a zero halo cannot reproduce
+    (same reason as parallel/codec.py dec_head).
+
+    1.55x over the direct bf16 decoder at the production 10 s x 48 kHz
+    batch shape (fold=8, tools/decfold_probe.py round 4).
+    """
+    from audiodec_tpu.parallel.codec import decoder_halo_frames
+
+    b, n, d = zq.shape
+    hop = cfg.hop_length
+    h = decoder_halo_frames(cfg)
+    f = batchfold_auto(n) if fold is None else fold
+    if f <= 1:
+        return _decoder_direct(p, zq, cfg)
+
+    pad = (-n) % f
+    zp = jnp.pad(zq, ((0, 0), (h, pad), (0, 0)))
+    nc = (n + pad) // f
+    chunks = jnp.stack(
+        [zp[:, i * nc:i * nc + nc + h] for i in range(f)],
+        axis=1).reshape(b * f, nc + h, d)
+    y = _decoder_direct(p, chunks, cfg)
+    y = y[:, h * hop:, :].reshape(b, f * nc * hop, -1)[:, :n * hop]
+    # exact-head patch (see docstring)
+    head = _decoder_direct(p, zq[:, :min(2 * h, n)], cfg)[:, :h * hop]
+    return jax.lax.dynamic_update_slice(y, head, (0, 0, 0))
+
+
+def decode_batchfold(dec_params, q_params, idx, cfg: GeneratorConfig, *,
+                     dec_dtype=jnp.bfloat16, fold=None):
+    """Batch-folded decode from RVQ indices: one rvq_lookup, then
+    decoder_apply_batchfold (see its docstring for semantics/measurement).
+    """
+    from audiodec_tpu.ops.vq import rvq_lookup
+    zq = rvq_lookup(idx, q_params).astype(dec_dtype)
+    return decoder_apply_batchfold(dec_params, zq, cfg, fold=fold)
+
+
+def _decoder_direct(p, zq, cfg: GeneratorConfig):
+    from audiodec_tpu.models.autoencoder import decoder_apply
+    return decoder_apply(p, zq, cfg)
+
+
+# ---------------------------------------------------------------------------
 # vocoder fast path (HiFiGAN resblocks in the folded kernel)
 # ---------------------------------------------------------------------------
 

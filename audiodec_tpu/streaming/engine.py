@@ -12,6 +12,7 @@ The wire format matches the reference: flattened RVQ indices per hop
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Optional, Tuple
 
@@ -36,11 +37,22 @@ from audiodec_tpu.models.vocoder import (
 from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
 
 
-def _enc_step(params, cfg, state, x):
-    h, se = encoder_apply(params["encoder"], x, cfg, state=state["encoder"])
-    z, sp = projector_apply(params["projector"], h, cfg,
-                            state=state["projector"])
-    _, idx = rvq_forward_index(z, params["quantizer"], flatten=True)
+def _enc_step(params, cfg, state, x, exact_k=None, enc_precision=None):
+    """One streaming encode hop.
+
+    exact_k / enc_precision: the hardware-bit-exact recipe from
+    codec_test --precision exact (encoder+projector traced under a raised
+    matmul precision, RVQ argmin via the two-pass shortlist re-score —
+    ops/vq.py vq_nearest_2pass).  None/None is the default fast path."""
+    scope = (jax.default_matmul_precision(enc_precision)
+             if enc_precision else contextlib.nullcontext())
+    with scope:
+        h, se = encoder_apply(params["encoder"], x, cfg,
+                              state=state["encoder"])
+        z, sp = projector_apply(params["projector"], h, cfg,
+                                state=state["projector"])
+    _, idx = rvq_forward_index(z, params["quantizer"], flatten=True,
+                               exact_k=exact_k)
     return idx, {"encoder": se, "projector": sp}
 
 
@@ -59,16 +71,30 @@ class StreamingCodec:
     """Stateful streaming encoder/decoder pair.
 
     params: generator params (+ optional 'vocoder' entry when the rx side is
-    a HiFiGAN vocoder, the AD v1/v2 configuration)."""
+    a HiFiGAN vocoder, the AD v1/v2 configuration).
+
+    precision: "default" (fast path) or "exact" — the hardware-bit-exact
+    recipe from codec_test --precision exact (encoder at 'high' matmul
+    precision + two-pass argmin re-score; empirically 0-flip on the
+    measured checkpoints, tools/flip_probe.py).  Exact mode requires an
+    f32 stream dtype (the encoder must see f32 inputs)."""
 
     def __init__(self, params, cfg: GeneratorConfig,
                  voc_cfg: Optional[VocoderConfig] = None, batch: int = 1,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, precision: str = "default",
+                 exact_k: int = 16):
+        if precision not in ("default", "exact"):
+            raise ValueError(f"precision must be default|exact, "
+                             f"got {precision!r}")
+        if precision == "exact" and dtype != jnp.float32:
+            raise ValueError("precision='exact' needs dtype=float32 "
+                             "(the encoder must run in f32)")
         self.params = params
         self.cfg = cfg
         self.voc_cfg = voc_cfg
         self.batch = batch
         self.dtype = dtype
+        ek, ep = (exact_k, "high") if precision == "exact" else (None, None)
         self.enc_state = {
             "encoder": encoder_state_init(batch, cfg, dtype),
             "projector": projector_state_init(batch, cfg, dtype),
@@ -79,7 +105,8 @@ class StreamingCodec:
         else:
             self.dec_state = {"vocoder": vocoder_state_init(batch, voc_cfg,
                                                             dtype)}
-        self._enc = jax.jit(partial(_enc_step, params, cfg),
+        self._enc = jax.jit(partial(_enc_step, params, cfg,
+                                    exact_k=ek, enc_precision=ep),
                             donate_argnums=0)
         self._dec = jax.jit(partial(_dec_step, params, cfg, voc_cfg),
                             donate_argnums=0)

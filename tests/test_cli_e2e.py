@@ -254,6 +254,51 @@ def test_codec_serve_stdin(workdir, monkeypatch, capsys):
             assert a.read() == b.read()
 
 
+def test_codec_serve_precision_exact_matches_codec_test(workdir, monkeypatch,
+                                                        capsys):
+    """--precision exact on the serving surface: codec_serve and codec_test
+    produce byte-identical outputs for the same checkpoint under the
+    recommended parity mode (encoder 'high' + two-pass argmin), so a
+    server wanting hardware bit-exactness no longer has to fall back to
+    the 2.6x 'highest' mode."""
+    import io
+    import sys as _sys
+
+    root, cfg_path = workdir
+    final = os.path.join(str(root / "exp" / "tiny"), "checkpoint-final.ckpt")
+    if not os.path.exists(final):  # standalone invocation
+        from audiodec_tpu.bin import codec_train
+        codec_train.main(["--config", cfg_path,
+                          "--tag", str(root / "exp" / "tiny")])
+    ct_out = str(root / "out_exact")
+    from audiodec_tpu.bin import codec_test
+    codec_test.main(["--encoder", final, "--decoder", final,
+                     "--subset", "test", "--outdir", ct_out,
+                     "--batch-size", "2", "--dtype", "mixed",
+                     "--precision", "exact"])
+    wavs = sorted(
+        str(root / "corpus" / "test" / f) for f in
+        os.listdir(root / "corpus" / "test") if f.endswith(".wav"))
+    outdir = str(root / "serve_out_exact")
+
+    from audiodec_tpu.bin import codec_serve
+    capsys.readouterr()
+    monkeypatch.setattr(_sys, "stdin", io.StringIO("\n".join(wavs) + "\n"))
+    codec_serve.main(["--encoder", final, "--decoder", final,
+                      "--outdir", outdir, "--stdin", "--dtype", "mixed",
+                      "--precision", "exact",
+                      "--warmup-seconds", "0", "--batch-size", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 3
+    outs = sorted(os.listdir(outdir))
+    assert len(outs) == 3
+    for f in outs:
+        with open(os.path.join(outdir, f), "rb") as a, \
+                open(os.path.join(ct_out, f), "rb") as b:
+            assert a.read() == b.read()
+
+
 def _write_float_wav(path, x, sr):
     """Minimal IEEE-float32 (format tag 3) WAV writer for test inputs."""
     import struct

@@ -51,6 +51,41 @@ def test_blocked_encoder_decoder_match():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_decode_batchfold_matches_direct():
+    """decode_batchfold == direct rvq_lookup+decoder_apply to f32 rounding
+    on every fold (interior chunks see real halo context; the head is
+    patched with a direct decode), including a non-divisible frame count
+    (tail padding) and the auto fold chooser."""
+    from audiodec_tpu.models.fast import batchfold_auto, decode_batchfold
+    from audiodec_tpu.ops.vq import rvq_lookup
+
+    cfg = GeneratorConfig(encode_channels=4, decode_channels=4,
+                          code_dim=8, codebook_num=2, codebook_size=16)
+    params = generator_init(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    for n in (64, 61):  # divisible and padded tails
+        idx = jnp.asarray(
+            rng.integers(0, 16, size=(2, n, 2)).astype(np.int32))
+        zq = rvq_lookup(idx, params["quantizer"])
+        y_ref = decoder_apply(params["decoder"], zq, cfg)
+        for fold in (2, 4):
+            y = decode_batchfold(params["decoder"], params["quantizer"],
+                                 idx, cfg, dec_dtype=jnp.float32, fold=fold)
+            assert y.shape == y_ref.shape
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"n={n} fold={fold}")
+    # fold=1 falls back to the direct path exactly
+    y1 = decode_batchfold(params["decoder"], params["quantizer"], idx, cfg,
+                          dec_dtype=jnp.float32, fold=1)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y_ref))
+    # auto chooser: production length -> 8, short -> scales down to 1
+    assert batchfold_auto(1600) == 8
+    assert batchfold_auto(800) == 4
+    assert batchfold_auto(300) == 1
+    assert batchfold_auto(150) == 1
+
+
 def test_blocked_path_bit_exact_vs_reference_golden():
     """Blocked encoder still produces bit-exact RVQ indices vs the reference
     torch implementation (golden symAD vectors)."""

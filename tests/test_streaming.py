@@ -57,6 +57,27 @@ def test_hop_by_hop_equals_scan(params):
                                atol=1e-6)
 
 
+def test_streaming_precision_exact(params):
+    """StreamingCodec(precision='exact') — the codec_test --precision exact
+    recipe on the streaming surface (encoder 'high' + two-pass argmin).
+    On CPU the recipe is semantically a no-op (f32 multiplies are already
+    exact), so indices must equal the default path bit-for-bit; this pins
+    the plumbing so the hardware mode exists on every user surface."""
+    hop = CFG.hop_length
+    x = 0.2 * np.random.default_rng(5).standard_normal(
+        (1, 6 * hop, 1)).astype(np.float32)
+    c_def = StreamingCodec(params, CFG)
+    c_ex = StreamingCodec(params, CFG, precision="exact")
+    for i in range(6):
+        chunk = jnp.asarray(x[:, i * hop:(i + 1) * hop])
+        np.testing.assert_array_equal(np.asarray(c_def.encode(chunk)),
+                                      np.asarray(c_ex.encode(chunk)))
+    with pytest.raises(ValueError):
+        StreamingCodec(params, CFG, precision="exact", dtype=jnp.bfloat16)
+    with pytest.raises(ValueError):
+        StreamingCodec(params, CFG, precision="fast")
+
+
 def test_multi_hop_chunks_equal_single_hops(params):
     """Encoding 4 hops at once == 4 single-hop calls (state consistency)."""
     hop = CFG.hop_length

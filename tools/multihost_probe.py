@@ -32,6 +32,91 @@ import sys
 PORT = int(os.environ.get("AUDIODEC_MH_PORT", "23457"))
 
 
+def worker_fullsize(pid: int, nprocs: int, devices_per_proc: int) -> None:
+    """Full-size canonical-config DP training across process boundaries:
+    one metric + one adversarial step of the shipping symAD architecture
+    (8.99M gen) + the full HiFiGAN MSD+MPD discriminator from
+    configs/autoencoder/symAD_vctk_48000_hop300.yaml, grads/EMA psum'd
+    over a mesh spanning every process (SURVEY §2.1.3; EMA-under-DP per
+    ref layers/vq_module.py:74-80).  Asserts finite losses and identical
+    post-update params on every host."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from audiodec_tpu.parallel import host_local_to_global, init_distributed
+    init_distributed(f"localhost:{PORT}", nprocs, pid)
+    assert jax.process_count() == nprocs
+
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from audiodec_tpu.models.autoencoder import generator_init
+    from audiodec_tpu.models.discriminators import (
+        hifigan_discriminator_apply, hifigan_discriminator_init,
+    )
+    from audiodec_tpu.train.criterion import build_criterion
+    from audiodec_tpu.train.optim import make_optimizer
+    from audiodec_tpu.train.steps import make_autoencoder_steps
+    from audiodec_tpu.utils.config import (
+        discriminator_config, generator_config, load_config,
+    )
+
+    cfg_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "autoencoder",
+        "symAD_vctk_48000_hop300.yaml")
+    config = load_config(cfg_path)
+    gen_cfg = generator_config(config)
+    disc_cfg = discriminator_config(config)
+
+    def disc_apply(p, xx):
+        return hifigan_discriminator_apply(p, xx, disc_cfg)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    gen = generator_init(k1, gen_cfg)          # same on all procs
+    disc = hifigan_discriminator_init(k2, disc_cfg)
+    gen_opt = make_optimizer(config, "generator")
+    disc_opt = make_optimizer(config, "discriminator")
+    state = {"gen": gen, "disc": disc, "gen_opt": gen_opt.init(gen),
+             "disc_opt": disc_opt.init(disc)}
+    steps = make_autoencoder_steps(gen_cfg, disc_apply, config,
+                                   build_criterion(config), gen_opt,
+                                   disc_opt, axis_name="data", jit=False)
+
+    n_dev = nprocs * devices_per_proc
+    dp_mesh = Mesh(np.array(jax.devices()), ("data",))
+    bl = int(config["batch_length"])
+    xt_full = (0.1 * np.random.RandomState(7)
+               .randn(n_dev, bl, 1)).astype(np.float32)
+    xt_local = xt_full[pid * devices_per_proc:(pid + 1) * devices_per_proc]
+    xt = host_local_to_global(dp_mesh, P("data", None, None), xt_local)
+
+    def dp_step(kind):
+        return jax.jit(shard_map(
+            lambda s, xx: steps[kind](s, xx), mesh=dp_mesh,
+            in_specs=(P(), P("data")), out_specs=(P(), P()),
+            check_vma=False))
+
+    state, m1 = dp_step("metric")(state, xt)
+    state, m2 = dp_step("adv")(state, xt)
+    jax.block_until_ready(m2)
+    for m in (m1, m2):
+        for k, v in m.items():
+            assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
+
+    from jax.experimental import multihost_utils
+    leaf = np.asarray(
+        jax.tree_util.tree_leaves(state["gen"])[0].addressable_data(0))
+    gathered = np.asarray(multihost_utils.process_allgather(leaf))
+    assert (gathered == gathered[0]).all(), "host param divergence"
+    print(f"multihost_probe[fullsize] proc {pid}/{nprocs}: OK — canonical "
+          f"symAD + full MSD/MPD metric+adv DP steps across {nprocs} "
+          f"hosts, losses finite, params synchronized", flush=True)
+
+
 def worker(pid: int, nprocs: int, devices_per_proc: int) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -203,10 +288,18 @@ def main(argv=None):
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--fullsize", action="store_true",
+                    help="run the canonical full-size symAD + MSD/MPD "
+                         "DP training step across processes instead of "
+                         "the toy-width transcode/training suite")
     args = ap.parse_args(argv)
 
     if args.process_id is not None:
-        worker(args.process_id, args.nprocs, args.devices_per_proc)
+        if args.fullsize:
+            worker_fullsize(args.process_id, args.nprocs,
+                            args.devices_per_proc)
+        else:
+            worker(args.process_id, args.nprocs, args.devices_per_proc)
         return 0
 
     env = dict(os.environ)
@@ -218,9 +311,10 @@ def main(argv=None):
         [sys.executable, os.path.abspath(__file__),
          "--nprocs", str(args.nprocs),
          "--devices-per-proc", str(args.devices_per_proc),
-         "--process-id", str(i)], env=env)
+         "--process-id", str(i)]
+        + (["--fullsize"] if args.fullsize else []), env=env)
         for i in range(args.nprocs)]
-    rcs = [p.wait(timeout=600) for p in procs]
+    rcs = [p.wait(timeout=3600 if args.fullsize else 600) for p in procs]
     ok = all(r == 0 for r in rcs)
     print(f"multihost_probe: {'OK' if ok else f'FAILED {rcs}'}")
     return 0 if ok else 1
