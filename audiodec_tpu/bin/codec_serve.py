@@ -175,9 +175,11 @@ def main(argv=None):
 
     stack = args.stack
     exact_k = enc_precision = None
+    encode_fold = None  # auto (parity modes below force the direct path)
     if args.precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
         stack = "xla"
+        encode_fold = False
     elif args.precision == "exact":
         if args.dtype == "bfloat16":
             parser.error("--precision exact needs an f32 encoder "
@@ -192,7 +194,8 @@ def main(argv=None):
                                     dtype=dtype, stack=stack,
                                     dec_dtype=dec_dtype, pcm16=True,
                                     exact_k=exact_k,
-                                    enc_precision=enc_precision)
+                                    enc_precision=enc_precision,
+                                    encode_fold=encode_fold)
     sr_expect = config.get("sampling_rate", 48000)
     hop = transcoder.cfg.hop_length
     os.makedirs(args.outdir, exist_ok=True)

@@ -165,7 +165,7 @@ class BatchTranscoder:
     def __init__(self, params, cfg: GeneratorConfig, voc=None, mesh=None,
                  dtype=jnp.float32, stack="xla", dec_dtype=None,
                  pcm16=False, int8_decode=False, exact_k=None,
-                 enc_precision=None, decode_fold=None):
+                 enc_precision=None, decode_fold=None, encode_fold=None):
         self.params = params
         self.cfg = cfg
         self.voc = voc
@@ -186,7 +186,27 @@ class BatchTranscoder:
                          and cfg.codec == "audiodec")
         use_folded = (stack == "folded" and cfg.mode == "causal"
                       and cfg.codec == "audiodec")
-        enc_apply = encoder_apply_folded if use_folded else encoder_apply
+        # batch-folded whole-encoder encode (2.27x at fold 8, 0/204800
+        # index flips vs direct — tools/encfold_probe.py round 4): auto-on
+        # for the default single-device XLA path in BOTH f32 and mixed
+        # modes (both fold identically, so the mixed==f32 index identity
+        # is preserved by construction); the --precision exact/highest
+        # parity paths pass encode_fold=False and stay direct.
+        use_enc_batchfold = (encode_fold is not False
+                             and enc_precision is None
+                             and mesh is None and stack != "folded"
+                             and cfg.mode == "causal"
+                             and cfg.codec == "audiodec")
+        if use_enc_batchfold:
+            from functools import partial as _partial
+            from audiodec_tpu.models.fast import encoder_apply_batchfold
+            enc_apply = _partial(
+                encoder_apply_batchfold,
+                fold=(None if encode_fold in (None, True) else encode_fold))
+        elif use_folded:
+            enc_apply = encoder_apply_folded
+        else:
+            enc_apply = encoder_apply
         if int8_decode and (voc is not None or cfg.mode != "causal"
                             or cfg.codec != "audiodec"):
             # int8 residual stacks exist only for the causal audiodec
@@ -317,7 +337,8 @@ class BatchTranscoder:
 def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
                dp: int = 1, dtype=jnp.float32, stack="xla",
                dec_dtype=None, pcm16=False, int8_decode=False,
-               exact_k=None, enc_precision=None, decode_fold=None):
+               exact_k=None, enc_precision=None, decode_fold=None,
+               encode_fold=None):
     """Build params + configs from checkpoint pair (symAE or AE+vocoder,
     ref: codecTest.py:52-75)."""
     enc_config = load_config_near_checkpoint(encoder_ckpt)
@@ -353,7 +374,8 @@ def load_codec(encoder_ckpt: str, decoder_ckpt: str, seq: int = 1,
                            dec_dtype=dec_dtype, pcm16=pcm16,
                            int8_decode=int8_decode, exact_k=exact_k,
                            enc_precision=enc_precision,
-                           decode_fold=decode_fold), enc_config
+                           decode_fold=decode_fold,
+                           encode_fold=encode_fold), enc_config
 
 
 def main(argv=None):
@@ -415,6 +437,14 @@ def main(argv=None):
                              "1.55x decoder speedup, tools/"
                              "decfold_probe.py), 'off', or an explicit "
                              "fold factor")
+    parser.add_argument("--encode-fold", default="auto",
+                        help="batch-folded whole-encoder encode (f32, "
+                             "mixed and bfloat16 modes; 2.27x encode at "
+                             "fold 8 with 0 measured index flips vs the "
+                             "direct path, tools/encfold_probe.py): "
+                             "'auto' (default), 'off', or an explicit "
+                             "fold factor.  --precision exact/highest "
+                             "always run the direct encoder")
     parser.add_argument("--exact-k", type=int, default=16,
                         help="two-pass argmin shortlist size for "
                              "--precision exact (k=16 covers the measured "
@@ -473,12 +503,19 @@ def main(argv=None):
     decode_fold = (None if args.decode_fold == "auto"
                    else False if args.decode_fold == "off"
                    else int(args.decode_fold))
+    encode_fold = (None if args.encode_fold == "auto"
+                   else False if args.encode_fold == "off"
+                   else int(args.encode_fold))
+    if args.precision != "default":
+        # exact/highest are parity modes: the encoder numeric path must
+        # stay the measured direct one (the fold changes f32 rounding)
+        encode_fold = False
     transcoder, config = load_codec(
         args.encoder, args.decoder, args.seq, args.dp,
         dtype=dtype, stack=stack, dec_dtype=dec_dtype,
         pcm16=not args.float_out, int8_decode=args.dtype == "int8-decode",
         exact_k=exact_k, enc_precision=enc_precision,
-        decode_fold=decode_fold)
+        decode_fold=decode_fold, encode_fold=encode_fold)
     cfg = transcoder.cfg
     sr = config.get("sampling_rate", 48000)
 

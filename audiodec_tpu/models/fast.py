@@ -164,6 +164,46 @@ def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None):
     return jax.lax.dynamic_update_slice(y, head, (0, 0, 0))
 
 
+def encoder_apply_batchfold(p, x, cfg: GeneratorConfig, *, fold=None):
+    """Whole-encoder apply with the waveform axis folded into batch:
+    x (B, T, C) -> chunks (B*F, T/F + halo, C) with an
+    encoder_halo_samples() left halo (hop-aligned, so every frame keeps
+    its stride phase), one encoder pass at the folded batch, trim the
+    halo frames, unfold.  Returns the (B, T/hop, C_enc) feature map —
+    run projector/RVQ on the unfolded result.
+
+    The encoder is purely causal (no transposed convs), so chunk 0's
+    zero-filled halo IS batch-mode zero left-padding: no head patch
+    needed, every chunk is semantically exact.  At F>=4 XLA picks its MXU
+    conv algorithm for the re-tiled C=32 stack, which changes f32
+    rounding within the one-pass-bf16 class the TPU default already uses
+    — measured 2.27x encode speedup at fold 8 with 0/204800 RVQ index
+    flips vs the direct path (tools/encfold_probe.py round 4).  NOT for
+    the --precision exact/highest parity paths, which stay direct.
+    """
+    from audiodec_tpu.models.autoencoder import encoder_apply
+    from audiodec_tpu.parallel.codec import encoder_halo_samples
+
+    b, t, c = x.shape
+    hop = cfg.hop_length
+    h = encoder_halo_samples(cfg)
+    h_fr = h // hop
+    n = t // hop
+    f = batchfold_auto(n) if fold is None else fold
+    if f <= 1:
+        return encoder_apply(p, x, cfg)
+
+    pad = (-t) % (f * hop)
+    xp = jnp.pad(x, ((0, 0), (h, pad), (0, 0)))
+    tc = (t + pad) // f
+    chunks = jnp.stack(
+        [xp[:, i * tc:i * tc + tc + h] for i in range(f)],
+        axis=1).reshape(b * f, tc + h, c)
+    hh = encoder_apply(p, chunks, cfg)
+    hh = hh[:, h_fr:, :]
+    return hh.reshape(b, f * (tc // hop), hh.shape[-1])[:, :n]
+
+
 def decode_batchfold(dec_params, q_params, idx, cfg: GeneratorConfig, *,
                      dec_dtype=jnp.bfloat16, fold=None):
     """Batch-folded decode from RVQ indices: one rvq_lookup, then

@@ -34,8 +34,10 @@ def main():
         generator_init,
         projector_apply,
     )
-    from audiodec_tpu.models.autoencoder import encoder_apply
-    from audiodec_tpu.models.fast import decoder_apply_batchfold
+    from audiodec_tpu.models.fast import (
+        decoder_apply_batchfold,
+        encoder_apply_batchfold,
+    )
     from audiodec_tpu.ops.vq import rvq_forward_index
 
     cfg = GeneratorConfig()  # symAD_vctk_48000_hop300
@@ -60,12 +62,16 @@ def main():
         # `params` is closed over — compile-time constants, exactly like the
         # codec_test CLI's jitted encode/decode (weights are fixed at load,
         # so weight-layout prep folds at compile time instead of riding the
-        # timed loop).  The bf16 decoder runs batch-folded (fold 8 at this
-        # length): the code-frame axis reshapes into batch with a 28-frame
-        # halo, re-tiling the dominant C=32 stack onto the MXU — 1.55x
-        # over the direct bf16 decoder, same quality vs the f32 anchor
-        # (tools/decfold_probe.py round 4; codec_test --decode-fold).
-        h = encoder_apply(params["encoder"], x, cfg)
+        # timed loop).  Both halves run BATCH-FOLDED (round-4 lever,
+        # fold 8 at this length): the time axis reshapes into batch with a
+        # receptive-field halo, re-tiling the lane-starved C=32 stacks
+        # onto the MXU.  Encoder: 2.27x with 0/204800 measured index
+        # flips vs the direct f32 path (tools/encfold_probe.py); decoder
+        # (bf16): 1.55x at unchanged quality vs the f32 anchor
+        # (tools/decfold_probe.py).  codec_test ships the same defaults
+        # (--encode-fold/--decode-fold auto); --precision exact/highest
+        # parity modes stay direct.
+        h = encoder_apply_batchfold(params["encoder"], x, cfg)
         z = projector_apply(params["projector"], h, cfg)
         zq, idx = rvq_forward_index(z, params["quantizer"])
         y = decoder_apply_batchfold(dec_params, zq.astype(jnp.bfloat16),
@@ -148,8 +154,9 @@ def main():
         # (BENCH_r*.json before 2026-08-19, BENCHMARKS.md tables) used
         # "f32" = full-f32; keep series comparable via this field.
         "mode": "mixed",
-        # bf16 decoder rides the batch-folded whole-decoder path (fold 8;
-        # models/fast.decoder_apply_batchfold, new in round 4)
+        # both halves ride the round-4 batch-folded paths (fold 8;
+        # models/fast.{encoder_apply,decoder_apply}_batchfold)
+        "encode_fold": 8,
         "decode_fold": 8,
         # session health: measured / nominal > 1 => this session's chip or
         # tunnel runs slow, scale expectations accordingly

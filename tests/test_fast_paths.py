@@ -86,6 +86,44 @@ def test_decode_batchfold_matches_direct():
     assert batchfold_auto(150) == 1
 
 
+def test_encoder_batchfold_matches_direct():
+    """encoder_apply_batchfold == direct encoder_apply to f32 rounding on
+    every fold and on a non-hop-aligned... (inputs are hop multiples by
+    CLI construction; a non-fold-divisible length exercises the tail
+    padding).  The encoder is purely causal, so chunk 0's zero halo IS
+    batch semantics — indices computed downstream must match exactly on
+    CPU (true-f32 convs)."""
+    from audiodec_tpu.models.autoencoder import projector_apply
+    from audiodec_tpu.models.fast import encoder_apply_batchfold
+    from audiodec_tpu.ops.vq import rvq_forward_index
+
+    cfg = GeneratorConfig(encode_channels=4, decode_channels=4,
+                          code_dim=8, codebook_num=2, codebook_size=16)
+    params = generator_init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    hop = cfg.hop_length
+    for n_hops in (24, 21):  # divisible by 4 / needs tail padding
+        x = jnp.asarray(0.3 * rng.standard_normal(
+            (2, n_hops * hop, 1)).astype(np.float32))
+        h_ref = encoder_apply(params["encoder"], x, cfg)
+        z_ref = projector_apply(params["projector"], h_ref, cfg)
+        _, idx_ref = rvq_forward_index(z_ref, params["quantizer"])
+        for fold in (2, 4):
+            h_f = encoder_apply_batchfold(params["encoder"], x, cfg,
+                                          fold=fold)
+            assert h_f.shape == h_ref.shape
+            np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"n_hops={n_hops} f={fold}")
+            z_f = projector_apply(params["projector"], h_f, cfg)
+            _, idx_f = rvq_forward_index(z_f, params["quantizer"])
+            np.testing.assert_array_equal(np.asarray(idx_f),
+                                          np.asarray(idx_ref))
+    # fold=1 falls back to the direct path exactly
+    h1 = encoder_apply_batchfold(params["encoder"], x, cfg, fold=1)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h_ref))
+
+
 def test_blocked_path_bit_exact_vs_reference_golden():
     """Blocked encoder still produces bit-exact RVQ indices vs the reference
     torch implementation (golden symAD vectors)."""

@@ -45,6 +45,13 @@ def worker_fullsize(pid: int, nprocs: int, devices_per_proc: int) -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # persistent compile cache: the full-size graph compiles for minutes on
+    # a contended CPU, and Gloo's context init has a 30 s deadline at the
+    # first collective — if the two processes' compiles finish far apart
+    # the slower one misses the rendezvous.  With the cache, a retry after
+    # a failed first attempt dispatches from cache near-simultaneously.
+    from audiodec_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     from audiodec_tpu.parallel import host_local_to_global, init_distributed
     init_distributed(f"localhost:{PORT}", nprocs, pid)
     assert jax.process_count() == nprocs
