@@ -151,12 +151,14 @@ class StreamingCodec:
         return y
 
 
-def scan_streaming_encode(params, cfg: GeneratorConfig, x):
+def scan_streaming_encode(params, cfg: GeneratorConfig, x,
+                          exact_k=None, enc_precision=None):
     """Whole-signal streaming encode as a `lax.scan` over hops.
 
     x: (B, n_hops*hop, C) -> idx (B, n_hops, Q).  Identical to the hop-by-hop
     path; used for equivalence tests and throughput measurement of the
-    streaming kernel."""
+    streaming kernel.  exact_k/enc_precision: the StreamingCodec
+    precision='exact' recipe (see _enc_step)."""
     b, t, c = x.shape
     hop = cfg.hop_length
     n = t // hop
@@ -167,7 +169,8 @@ def scan_streaming_encode(params, cfg: GeneratorConfig, x):
     }
 
     def step(state, xh):
-        idx, state = _enc_step(params, cfg, state, xh)
+        idx, state = _enc_step(params, cfg, state, xh, exact_k=exact_k,
+                               enc_precision=enc_precision)
         return state, idx[:, 0]
 
     _, idxs = jax.lax.scan(step, state, xs)

@@ -41,6 +41,12 @@ ap.add_argument("--decoder", default="sym",
                 choices=["sym", "v0", "v1", "v2"],
                 help="rx decoder: symAD mirror decoder or the AD v0/v1/v2 "
                      "HiFiGAN vocoder variants (ref figs/latency.jpg rows)")
+ap.add_argument("--precision", default="default",
+                choices=["default", "exact"],
+                help="exact = the StreamingCodec precision='exact' recipe "
+                     "(encoder 'high' matmul precision + two-pass argmin) "
+                     "— measures the streaming-surface cost of hardware "
+                     "bit-exact indices per hop")
 args = ap.parse_args()
 
 if args.cpu:
@@ -68,7 +74,9 @@ if args.decoder != "sym":
     params = dict(params)
     params["vocoder"] = vocoder_init(jax.random.PRNGKey(1), voc_cfg)
 
-enc = jax.jit(lambda p, x: scan_streaming_encode(p, cfg, x))
+ek, ep = ((16, "high") if args.precision == "exact" else (None, None))
+enc = jax.jit(lambda p, x: scan_streaming_encode(p, cfg, x, exact_k=ek,
+                                                 enc_precision=ep))
 dec = jax.jit(lambda p, i: scan_streaming_decode(p, cfg, i,
                                                  voc_cfg=voc_cfg))
 
