@@ -184,6 +184,14 @@ class BatchTranscoder:
                          and dec_dtype == jnp.bfloat16
                          and cfg.mode == "causal"
                          and cfg.codec == "audiodec")
+        # the AD v1/v2 vocoder receiver gets the same treatment
+        # (models/fast.vocoder_apply_batchfold; halo = vocoder_halo_frames)
+        use_voc_batchfold = (decode_fold is not False
+                             and voc is not None and not int8_decode
+                             and mesh is None and stack != "folded"
+                             and dec_dtype == jnp.bfloat16
+                             and getattr(voc[1], "mode", "causal")
+                             == "causal")
         use_folded = (stack == "folded" and cfg.mode == "causal"
                       and cfg.codec == "audiodec")
         # batch-folded whole-encoder encode (2.27x at fold 8, 0/204800
@@ -286,16 +294,22 @@ class BatchTranscoder:
 
             @jax.jit
             def decode(idx):
+                fold_arg = (None if decode_fold in (None, True)
+                            else decode_fold)
                 if use_batchfold:
                     from audiodec_tpu.models.fast import decode_batchfold
                     y = decode_batchfold(
                         dec_params, params["quantizer"], idx, cfg,
-                        dec_dtype=dec_dtype,
-                        fold=(None if decode_fold in (None, True)
-                              else decode_fold))
+                        dec_dtype=dec_dtype, fold=fold_arg)
                     return _pcm16(y) if pcm16 else y.astype(jnp.float32)
                 zq = rvq_lookup(idx, params["quantizer"]).astype(dec_dtype)
-                if voc is None:
+                if use_voc_batchfold:
+                    from audiodec_tpu.models.fast import (
+                        vocoder_apply_batchfold,
+                    )
+                    y = vocoder_apply_batchfold(dec_params, zq, voc[1],
+                                                fold=fold_arg)
+                elif voc is None:
                     y = dec_apply(dec_params, zq, cfg)
                 else:
                     y = voc_apply(dec_params, zq, voc[1])

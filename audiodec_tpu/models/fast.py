@@ -122,46 +122,68 @@ def batchfold_auto(n_frames: int, target_chunk: int = 200,
     return f
 
 
-def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None):
-    """Full-decoder apply with the code-frame axis folded into batch:
-    zq (B, n, D) -> chunks (B*F, n/F + halo, D) with a
-    decoder_halo_frames() left halo of REAL context (the chunk-halo recipe
-    of parallel/codec.py, reshape instead of ppermute), one decoder pass
-    at the folded batch — which re-tiles the dominant C=32 stack at the
-    output rate onto the MXU — and one output unfold.
-
-    Numeric class: the fold changes XLA's conv tiling, so outputs deviate
-    from the direct decoder at bf16-reassociation level (measured 5.2e-3
-    rel on hardware, equal quality vs the f32 anchor) — use for bf16/mixed
-    decoders, NOT for the f32 parity path.  The first halo*hop samples
-    are patched with a direct head decode because batch-mode
-    CausalConvTranspose1d left-pads by REPLICATING the first frame (ref:
-    layers/conv_layer.py:184-197), which a zero halo cannot reproduce
-    (same reason as parallel/codec.py dec_head).
-
-    1.55x over the direct bf16 decoder at the production 10 s x 48 kHz
-    batch shape (fold=8, tools/decfold_probe.py round 4).
-    """
-    from audiodec_tpu.parallel.codec import decoder_halo_frames
-
+def _apply_batchfold_frames(apply_fn, zq, h: int, hop: int, f: int):
+    """Generic frame-level batch-fold for an upsampling decoder/vocoder:
+    zq (B, n, D) -> chunks (B*F, n/F + h, D) with an h-frame left halo of
+    REAL context (the chunk-halo recipe of parallel/codec.py, reshape
+    instead of ppermute), one apply at the folded batch, one output
+    unfold, and a direct head patch for the first h*hop samples (batch-
+    mode CausalConvTranspose1d left-pads by REPLICATING the first frame,
+    ref layers/conv_layer.py:184-197, which a zero halo cannot
+    reproduce — same reason as parallel/codec.py dec_head)."""
     b, n, d = zq.shape
-    hop = cfg.hop_length
-    h = decoder_halo_frames(cfg)
-    f = batchfold_auto(n) if fold is None else fold
-    if f <= 1:
-        return _decoder_direct(p, zq, cfg)
-
     pad = (-n) % f
     zp = jnp.pad(zq, ((0, 0), (h, pad), (0, 0)))
     nc = (n + pad) // f
     chunks = jnp.stack(
         [zp[:, i * nc:i * nc + nc + h] for i in range(f)],
         axis=1).reshape(b * f, nc + h, d)
-    y = _decoder_direct(p, chunks, cfg)
+    y = apply_fn(chunks)
     y = y[:, h * hop:, :].reshape(b, f * nc * hop, -1)[:, :n * hop]
-    # exact-head patch (see docstring)
-    head = _decoder_direct(p, zq[:, :min(2 * h, n)], cfg)[:, :h * hop]
+    head = apply_fn(zq[:, :min(2 * h, n)])[:, :h * hop]
     return jax.lax.dynamic_update_slice(y, head, (0, 0, 0))
+
+
+def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None):
+    """Full-decoder apply with the code-frame axis folded into batch
+    (_apply_batchfold_frames with halo = decoder_halo_frames) — re-tiles
+    the dominant C=32 stack at the output rate onto the MXU.
+
+    Numeric class: the fold changes XLA's conv tiling, so outputs deviate
+    from the direct decoder at bf16-reassociation level (measured 5.2e-3
+    rel on hardware, equal quality vs the f32 anchor) — use for bf16/mixed
+    decoders, NOT for the f32 parity path.
+
+    1.55x over the direct bf16 decoder at the production 10 s x 48 kHz
+    batch shape (fold=8, tools/decfold_probe.py round 4).
+    """
+    from audiodec_tpu.parallel.codec import decoder_halo_frames
+
+    f = batchfold_auto(zq.shape[1]) if fold is None else fold
+    if f <= 1:
+        return _decoder_direct(p, zq, cfg)
+    return _apply_batchfold_frames(
+        lambda z: _decoder_direct(p, z, cfg), zq,
+        decoder_halo_frames(cfg), cfg.hop_length, f)
+
+
+def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None):
+    """HiFiGAN vocoder apply with the code-frame axis folded into batch
+    (_apply_batchfold_frames with halo = vocoder_halo_frames) — the AD
+    v1/v2 receiver's analogue of decoder_apply_batchfold, for bf16-class
+    vocoder decodes (same numeric-class caveat)."""
+    import math
+
+    from audiodec_tpu.models.vocoder import vocoder_apply
+    from audiodec_tpu.parallel.codec import vocoder_halo_frames
+
+    f = batchfold_auto(zq.shape[1]) if fold is None else fold
+    if f <= 1:
+        return vocoder_apply(p, zq, voc_cfg)
+    hop = math.prod(voc_cfg.upsample_scales)
+    return _apply_batchfold_frames(
+        lambda z: vocoder_apply(p, z, voc_cfg), zq,
+        vocoder_halo_frames(voc_cfg), hop, f)
 
 
 def encoder_apply_batchfold(p, x, cfg: GeneratorConfig, *, fold=None):

@@ -124,6 +124,37 @@ def test_encoder_batchfold_matches_direct():
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h_ref))
 
 
+def test_vocoder_batchfold_matches_direct():
+    """vocoder_apply_batchfold == direct vocoder_apply to f32 rounding
+    (the AD v1/v2 receiver analogue of the decoder fold; head patched for
+    the causal transposed-conv ReplicationPad)."""
+    from audiodec_tpu.models.fast import vocoder_apply_batchfold
+    from audiodec_tpu.models.vocoder import (
+        VocoderConfig,
+        vocoder_apply,
+        vocoder_init,
+    )
+
+    voc_cfg = VocoderConfig(in_channels=8, channels=16,
+                            upsample_scales=(5, 5, 4, 3),
+                            upsample_kernel_sizes=(10, 10, 8, 6),
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilations=((1, 3),),
+                            groups=1, stats=False)
+    voc = vocoder_init(jax.random.PRNGKey(9), voc_cfg)
+    rng = np.random.default_rng(9)
+    for n in (64, 61):
+        zq = jnp.asarray(0.3 * rng.standard_normal(
+            (2, n, 8)).astype(np.float32))
+        y_ref = vocoder_apply(voc, zq, voc_cfg)
+        for fold in (2, 4):
+            y = vocoder_apply_batchfold(voc, zq, voc_cfg, fold=fold)
+            assert y.shape == y_ref.shape
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"n={n} fold={fold}")
+
+
 def test_blocked_path_bit_exact_vs_reference_golden():
     """Blocked encoder still produces bit-exact RVQ indices vs the reference
     torch implementation (golden symAD vectors)."""

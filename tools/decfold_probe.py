@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--folds", type=int, nargs="*", default=[2, 4, 8])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--vocoder", default=None, choices=["v1", "v2"],
+                    help="probe the AD v1/v2 HiFiGAN vocoder receiver "
+                         "instead of the symAD mirror decoder "
+                         "(models/fast.vocoder_apply_batchfold)")
     args = ap.parse_args()
 
     from audiodec_tpu.models.autoencoder import (
@@ -73,17 +77,58 @@ def main():
     cfg = GeneratorConfig()
     params = generator_init(jax.random.PRNGKey(0), cfg)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    dec_params = jax.tree_util.tree_map(
-        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
-        params["decoder"])
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, tree)
 
     hop = cfg.hop_length
     B = args.batch
     T = args.seconds * 48000
     n = T // hop
-    h = decoder_halo_frames(cfg)
 
-    # realistic code indices: encode a synthetic batch once (outside timing)
+    if args.vocoder:
+        from audiodec_tpu.models.fast import vocoder_apply_batchfold
+        from audiodec_tpu.models.vocoder import vocoder_apply, vocoder_init
+        from audiodec_tpu.parallel.codec import vocoder_halo_frames
+        from audiodec_tpu.utils.config import generator_config, load_config
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        vc = load_config(os.path.join(
+            root, "configs", "vocoder",
+            f"AudioDec_{args.vocoder}_symAD_vctk_48000_hop300_clean.yaml"))
+        voc_cfg = generator_config(vc)
+        voc = vocoder_init(jax.random.PRNGKey(2), voc_cfg)
+        voc_dt = cast(voc)
+        h = vocoder_halo_frames(voc_cfg)
+
+        def apply_f32(zq):
+            return vocoder_apply(voc, zq, voc_cfg)
+
+        def apply_direct(zq):
+            return vocoder_apply(voc_dt, zq.astype(dt), voc_cfg)
+
+        def apply_fold(zq, F):
+            return vocoder_apply_batchfold(voc_dt, zq.astype(dt), voc_cfg,
+                                           fold=F)
+    else:
+        from audiodec_tpu.models.fast import decoder_apply_batchfold
+        from audiodec_tpu.parallel.codec import decoder_halo_frames
+
+        dec_params = cast(params["decoder"])
+        h = decoder_halo_frames(cfg)
+
+        def apply_f32(zq):
+            return decoder_apply(params["decoder"], zq, cfg)
+
+        def apply_direct(zq):
+            return decoder_apply(dec_params, zq.astype(dt), cfg)
+
+        def apply_fold(zq, F):
+            return decoder_apply_batchfold(dec_params, zq.astype(dt), cfg,
+                                           fold=F)
+
+    # realistic codes: encode a synthetic batch once (outside timing)
     x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1),
                                  jnp.float32)
 
@@ -92,60 +137,39 @@ def main():
         hh = encoder_apply(params["encoder"], x, cfg)
         z = projector_apply(params["projector"], hh, cfg)
         _, idx = rvq_forward_index(z, params["quantizer"])
-        return idx
+        return rvq_lookup(idx, params["quantizer"])
 
-    idx = jax.block_until_ready(enc(x0))
+    zq0 = jax.block_until_ready(enc(x0))
 
-    def direct(idx):
-        zq = rvq_lookup(idx, params["quantizer"]).astype(dt)
-        return decoder_apply(dec_params, zq, cfg).astype(jnp.float32)
+    def direct(zq):
+        return apply_direct(zq).astype(jnp.float32)
 
-    @jax.jit
-    def direct_f32(idx):
-        zq = rvq_lookup(idx, params["quantizer"])
-        return decoder_apply(params["decoder"], zq, cfg)
-
-    y_ref = direct_f32(idx)  # f32 quality anchor
+    y_ref = jax.jit(apply_f32)(zq0)  # f32 quality anchor
     ref_scale = float(jnp.max(jnp.abs(y_ref)))
-    y_direct = jax.jit(direct)(idx)
+    y_direct = jax.jit(direct)(zq0)
     err_direct = float(jnp.max(jnp.abs(y_direct - y_ref))) / ref_scale
-    t_direct = time_fn(direct, idx)
+    t_direct = time_fn(direct, zq0)
     print(json.dumps({
         "path": "direct", "dtype": args.dtype, "B": B, "T": T,
-        "ms": round(t_direct * 1e3, 2),
+        "vocoder": args.vocoder, "ms": round(t_direct * 1e3, 2),
         "rel_err_vs_f32": float(f"{err_direct:.3e}"),
     }), flush=True)
 
     for F in args.folds:
         if n % F:
             continue
-        nc = n // F
 
-        def folded(idx, F=F, nc=nc):
-            b = idx.shape[0]
-            idxp = jnp.pad(idx, ((0, 0), (h, 0), (0, 0)))
-            chunks = jnp.stack(
-                [idxp[:, f * nc:f * nc + nc + h] for f in range(F)],
-                axis=1).reshape(b * F, nc + h, idx.shape[-1])
-            zq = rvq_lookup(chunks, params["quantizer"]).astype(dt)
-            y = decoder_apply(dec_params, zq, cfg)
-            y = y[:, h * hop:, :].reshape(b, F * nc * hop, 1)
-            # head patch: first h*hop samples decoded unsharded (index-0
-            # halo != zero activations; ReplicationPad on chunk 0)
-            zq_h = rvq_lookup(idx[:, :min(2 * h, n)],
-                              params["quantizer"]).astype(dt)
-            head = decoder_apply(dec_params, zq_h, cfg)[:, :h * hop]
-            y = jax.lax.dynamic_update_slice(y, head, (0, 0, 0))
-            return y.astype(jnp.float32)
+        def folded(zq, F=F):
+            return apply_fold(zq, F).astype(jnp.float32)
 
-        y_fold = jax.jit(folded)(idx)
+        y_fold = jax.jit(folded)(zq0)
         err_fold = float(jnp.max(jnp.abs(y_fold - y_ref))) / ref_scale
         # deviation from the direct same-dtype path (0 on CPU/f32)
         dev = float(jnp.max(jnp.abs(y_fold - y_direct))) / ref_scale
-        t_fold = time_fn(folded, idx)
+        t_fold = time_fn(folded, zq0)
         print(json.dumps({
             "path": "folded", "dtype": args.dtype, "B": B, "T": T,
-            "fold": F, "halo_frames": h,
+            "vocoder": args.vocoder, "fold": F, "halo_frames": h,
             "ms": round(t_fold * 1e3, 2),
             "speedup_vs_direct": round(t_direct / t_fold, 2),
             "rel_err_vs_f32": float(f"{err_fold:.3e}"),
