@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--golden", default="gen_symad_trained",
                     help="tests/golden/<name>.npz trained golden to "
                          "measure (e.g. gen_symad_trained_12k)")
+    ap.add_argument("--skip-time", action="store_true",
+                    help="flip counts only (skip the B=16 x 10 s cost "
+                         "loop — minutes on CPU)")
     ap.add_argument("--modes", nargs="+", default=None,
                     help="subset of mode names to run (remote compiles are "
                          "minutes each; the full matrix can exceed a "
@@ -61,14 +64,20 @@ def main():
 
     import contextlib
 
-    def encode(x, dtype, enc_prec=None, exact_k=None):
+    from audiodec_tpu.models.fast import encoder_apply_batchfold
+
+    def encode(x, dtype, enc_prec=None, exact_k=None, fold=None):
         p = jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
             {"encoder": params["encoder"], "projector": params["projector"]})
         scope = (jax.default_matmul_precision(enc_prec) if enc_prec
                  else contextlib.nullcontext())
         with scope:
-            h = encoder_apply(p["encoder"], x.astype(dtype), cfg)
+            if fold:
+                h = encoder_apply_batchfold(p["encoder"], x.astype(dtype),
+                                            cfg, fold=fold)
+            else:
+                h = encoder_apply(p["encoder"], x.astype(dtype), cfg)
             z = projector_apply(p["projector"], h, cfg)
         _, idx = rvq_forward_index(z.astype(jnp.float32),
                                    params["quantizer"], exact_k=exact_k)
@@ -80,6 +89,9 @@ def main():
     # encoder+projector; exact_k adds the two-pass argmin re-score.
     modes = (
         ("f32_default", jnp.float32, None, None, None),
+        # the round-4 shipping default: batch-folded whole-encoder encode
+        # (codec_test --encode-fold auto -> fold 8 at production length)
+        ("f32_fold8", jnp.float32, None, None, None, 8),
         ("bf16", jnp.bfloat16, None, None, None),
         ("f32_2pass_k16", jnp.float32, None, None, 16),
         ("f32_2pass_k64", jnp.float32, None, None, 64),
@@ -97,12 +109,12 @@ def main():
     xt = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (16, 480000, 1),
                                  jnp.float32)
 
-    def time_mode(dtype, enc_prec, exact_k, iters=8):
+    def time_mode(dtype, enc_prec, exact_k, fold=None, iters=8):
         @jax.jit
         def loop(xb):
             def body(i, s):
                 idx = encode(xb + s.astype(xb.dtype), dtype, enc_prec,
-                             exact_k)
+                             exact_k, fold)
                 return 1e-20 * idx.ravel()[0].astype(jnp.float32) + 0.0 * s
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
@@ -115,19 +127,21 @@ def main():
         return best * 1e3
 
     base_ms = None
-    for mode, dtype, prec, enc_prec, exact_k in modes:
+    for mode, dtype, prec, enc_prec, exact_k, *rest in modes:
+        fold = rest[0] if rest else None
         if args.modes and mode not in args.modes and mode != "f32_default":
             continue
         if prec:
             jax.config.update("jax_default_matmul_precision", prec)
         idx = np.asarray(jax.jit(
-            lambda x, d=dtype, ep=enc_prec, ek=exact_k:
-            encode(x, d, ep, ek))(x))
-        ms = time_mode(dtype, enc_prec, exact_k)
+            lambda x, d=dtype, ep=enc_prec, ek=exact_k, f=fold:
+            encode(x, d, ep, ek, f))(x))
+        ms = (0.0 if args.skip_time
+              else time_mode(dtype, enc_prec, exact_k, fold))
         if prec:
             jax.config.update("jax_default_matmul_precision", None)
         if base_ms is None:
-            base_ms = ms
+            base_ms = ms or 1.0
         flat = (idx[0] + offs[0]).T  # (Q, frames)
         flips = int((flat != ref).sum())
         total = int(ref.size)
