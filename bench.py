@@ -162,6 +162,12 @@ def main():
         # tunnel runs slow, scale expectations accordingly
         "session_ref_ms": round(ref_ms, 2),
         "session_ref_nominal_ms": SESSION_REF_NOMINAL_MS,
+        # drift-corrected RTF: what this workload would print on a
+        # nominal-speed session (rtf scaled by the session-ref ratio);
+        # use THIS number to compare rounds — raw `value` mixes code
+        # changes with chip/tunnel drift
+        "rtf_drift_normalized": round(rtf * ref_ms
+                                      / SESSION_REF_NOMINAL_MS, 1),
     }))
 
 
