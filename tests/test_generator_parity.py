@@ -34,6 +34,7 @@ CFGS = {
     "gen_symad": GeneratorConfig(),
     "gen_symad_trained": GeneratorConfig(),
     "gen_symad_trained_12k": GeneratorConfig(),
+    "gen_symad_trained_20k": GeneratorConfig(),
     "gen_denoise_trained": GeneratorConfig(),
     "gen_symaad": GeneratorConfig(
         encode_channels=4, decode_channels=4, code_dim=16, codebook_num=4,
@@ -69,6 +70,7 @@ def test_forward_parity(name):
 @pytest.mark.parametrize("name", ["gen_small", "gen_symad",
                                   "gen_symad_trained",
                                   "gen_symad_trained_12k",
+                                  "gen_symad_trained_20k",
                                   "gen_denoise_trained"])
 def test_streaming_parity_bit_exact_indices(name):
     """Streaming encode -> indices must be bit-exact vs the reference
@@ -258,6 +260,31 @@ def test_trained_denoise_checkpoint_snr():
     torch and the schedule markers."""
     data, cfg, params = load_case("gen_denoise_trained")
     assert int(data["trained_steps"]) == 500
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+
+    ref = data["y_stream"][0, 0]
+    state = codec_state_init(1, cfg)
+    idx, st = generator_encode(params, x, cfg, state=state)
+    ours, _ = generator_decode(params, idx, cfg,
+                               state={"decoder": st.get("decoder",
+                                                        state["decoder"])})
+    ours = np.asarray(ours)[0, :, 0]
+    err = ours - ref
+    snr_db = 10 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-30))
+    assert snr_db > 50.0, f"SNR vs torch decode too low: {snr_db:.1f} dB"
+
+
+def test_trained_20k_checkpoint_snr():
+    """Full production-length metric phase COMPLETE: the reference's own
+    trainer ran the entire 20k-step metric schedule of
+    tools/ref_configs/symAD_long.yaml (the scaled-down analogue of the
+    published 200k schedule, ref config symAD_vctk_48000_hop300.yaml).
+    Codebooks/encoder/projector — the index-relevant parameters — train
+    ONLY in the metric phase (the adversarial phase freezes them, ref
+    trainer/autoencoder.py:66-79), so this pins final-codebook index
+    parity; bit-exact indices ride the parametrized streaming test."""
+    data, cfg, params = load_case("gen_symad_trained_20k")
+    assert int(data["trained_steps"]) >= 20000
     x = jnp.asarray(data["x"].transpose(0, 2, 1))
 
     ref = data["y_stream"][0, 0]
