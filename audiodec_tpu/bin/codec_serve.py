@@ -161,6 +161,13 @@ def main(argv=None):
     parser.add_argument("--exact-k", type=int, default=16,
                         help="two-pass argmin shortlist size for "
                              "--precision exact")
+    parser.add_argument("--encode-fold", default="auto",
+                        help="batch-folded whole-encoder encode "
+                             "(auto/off/N; see codec_test --encode-fold)")
+    parser.add_argument("--decode-fold", default="auto",
+                        help="batch-folded whole-decoder decode for "
+                             "bf16-class decoders (auto/off/N; see "
+                             "codec_test --decode-fold)")
     parser.add_argument("--warmup-seconds", type=float, default=10.0,
                         help="compile-priming transcode length; also the "
                              "time-axis bucket unit (0 skips warmup and "
@@ -173,9 +180,13 @@ def main(argv=None):
     from audiodec_tpu.data import read_wav, read_wav_pcm16, write_wav
     from audiodec_tpu.data.wav import wav_is_pcm16
 
+    def parse_fold(v):
+        return None if v == "auto" else False if v == "off" else int(v)
+
     stack = args.stack
     exact_k = enc_precision = None
-    encode_fold = None  # auto (parity modes below force the direct path)
+    encode_fold = parse_fold(args.encode_fold)
+    decode_fold = parse_fold(args.decode_fold)
     if args.precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
         stack = "xla"
@@ -195,7 +206,8 @@ def main(argv=None):
                                     dec_dtype=dec_dtype, pcm16=True,
                                     exact_k=exact_k,
                                     enc_precision=enc_precision,
-                                    encode_fold=encode_fold)
+                                    encode_fold=encode_fold,
+                                    decode_fold=decode_fold)
     sr_expect = config.get("sampling_rate", 48000)
     hop = transcoder.cfg.hop_length
     os.makedirs(args.outdir, exist_ok=True)
