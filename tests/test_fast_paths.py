@@ -88,11 +88,11 @@ def test_decode_batchfold_matches_direct():
 
 def test_encoder_batchfold_matches_direct():
     """encoder_apply_batchfold == direct encoder_apply to f32 rounding on
-    every fold and on a non-hop-aligned... (inputs are hop multiples by
-    CLI construction; a non-fold-divisible length exercises the tail
-    padding).  The encoder is purely causal, so chunk 0's zero halo IS
-    batch semantics — indices computed downstream must match exactly on
-    CPU (true-f32 convs)."""
+    every fold (inputs are hop multiples by CLI construction; the
+    non-fold-divisible length exercises the tail padding).  The encoder
+    is purely causal, so chunk 0's zero halo IS batch semantics —
+    indices computed downstream must match exactly on CPU (true-f32
+    convs)."""
     from audiodec_tpu.models.autoencoder import projector_apply
     from audiodec_tpu.models.fast import encoder_apply_batchfold
     from audiodec_tpu.ops.vq import rvq_forward_index
