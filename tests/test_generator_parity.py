@@ -35,6 +35,7 @@ CFGS = {
     "gen_symad_trained": GeneratorConfig(),
     "gen_symad_trained_12k": GeneratorConfig(),
     "gen_symad_trained_20k": GeneratorConfig(),
+    "gen_symad_trained_final": GeneratorConfig(),
     "gen_denoise_trained": GeneratorConfig(),
     "gen_symaad": GeneratorConfig(
         encode_channels=4, decode_channels=4, code_dim=16, codebook_num=4,
@@ -71,6 +72,7 @@ def test_forward_parity(name):
                                   "gen_symad_trained",
                                   "gen_symad_trained_12k",
                                   "gen_symad_trained_20k",
+                                  "gen_symad_trained_final",
                                   "gen_denoise_trained"])
 def test_streaming_parity_bit_exact_indices(name):
     """Streaming encode -> indices must be bit-exact vs the reference
@@ -286,6 +288,35 @@ def test_trained_20k_checkpoint_snr():
     data, cfg, params = load_case("gen_symad_trained_20k")
     assert int(data["trained_steps"]) >= 20000
     x = jnp.asarray(data["x"].transpose(0, 2, 1))
+
+    ref = data["y_stream"][0, 0]
+    state = codec_state_init(1, cfg)
+    idx, st = generator_encode(params, x, cfg, state=state)
+    ours, _ = generator_decode(params, idx, cfg,
+                               state={"decoder": st.get("decoder",
+                                                        state["decoder"])})
+    ours = np.asarray(ours)[0, :, 0]
+    err = ours - ref
+    snr_db = 10 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-30))
+    assert snr_db > 50.0, f"SNR vs torch decode too low: {snr_db:.1f} dB"
+
+
+def test_trained_final_checkpoint_snr():
+    """The COMPLETE production-length schedule: 20k metric + 1.2k
+    adversarial steps of the reference's own trainer finished
+    (exp_ref/symAD_long, the scaled-down analogue of the published
+    200k+500k schedule).  The adversarial phase trains ONLY the decoder
+    (encoder/codebooks frozen, ref trainer/autoencoder.py:66-79), so on
+    top of the 20k index anchor this golden pins decode parity against
+    an ADVERSARIALLY-trained decoder — indices must stay identical to
+    the 20k pin and the decode SNR gate covers the GAN-phase weights."""
+    data, cfg, params = load_case("gen_symad_trained_final")
+    assert int(data["trained_steps"]) >= 21200
+    x = jnp.asarray(data["x"].transpose(0, 2, 1))
+
+    # indices: unchanged by the adversarial phase (frozen encoder side)
+    d20 = np.load(os.path.join(GOLDEN, "gen_symad_trained_20k.npz"))
+    np.testing.assert_array_equal(data["idx_stream"], d20["idx_stream"])
 
     ref = data["y_stream"][0, 0]
     state = codec_state_init(1, cfg)
