@@ -178,33 +178,40 @@ class BatchTranscoder:
         # path; never for the f32 parity decoder (the fold changes the
         # numeric class to bf16-reassociation level)
         self.decode_fold = decode_fold
-        use_batchfold = (decode_fold is not False
-                         and voc is None and not int8_decode
-                         and mesh is None and stack != "folded"
-                         and dec_dtype == jnp.bfloat16
-                         and cfg.mode == "causal"
-                         and cfg.codec == "audiodec")
+        # the same fold policy drives both the single-device applies and
+        # the sharded (mesh) codec: the fold is a shard-local reshape, so
+        # under a mesh it runs inside each shard's chunk
+        # (make_sharded_codec encode_fold/decode_fold)
+        dec_batchfold_ok = (decode_fold is not False
+                            and voc is None and not int8_decode
+                            and stack != "folded"
+                            and dec_dtype == jnp.bfloat16
+                            and cfg.mode == "causal"
+                            and cfg.codec == "audiodec")
+        use_batchfold = dec_batchfold_ok and mesh is None
         # the AD v1/v2 vocoder receiver gets the same treatment
         # (models/fast.vocoder_apply_batchfold; halo = vocoder_halo_frames)
-        use_voc_batchfold = (decode_fold is not False
-                             and voc is not None and not int8_decode
-                             and mesh is None and stack != "folded"
-                             and dec_dtype == jnp.bfloat16
-                             and getattr(voc[1], "mode", "causal")
-                             == "causal")
+        voc_batchfold_ok = (decode_fold is not False
+                            and voc is not None and not int8_decode
+                            and stack != "folded"
+                            and dec_dtype == jnp.bfloat16
+                            and getattr(voc[1], "mode", "causal")
+                            == "causal")
+        use_voc_batchfold = voc_batchfold_ok and mesh is None
         use_folded = (stack == "folded" and cfg.mode == "causal"
                       and cfg.codec == "audiodec")
         # batch-folded whole-encoder encode (2.27x at fold 8, 0/204800
         # index flips vs direct — tools/encfold_probe.py round 4): auto-on
-        # for the default single-device XLA path in BOTH f32 and mixed
-        # modes (both fold identically, so the mixed==f32 index identity
-        # is preserved by construction); the --precision exact/highest
-        # parity paths pass encode_fold=False and stay direct.
-        use_enc_batchfold = (encode_fold is not False
-                             and enc_precision is None
-                             and mesh is None and stack != "folded"
-                             and cfg.mode == "causal"
-                             and cfg.codec == "audiodec")
+        # for the default XLA path in BOTH f32 and mixed modes (both fold
+        # identically, so the mixed==f32 index identity is preserved by
+        # construction); the --precision exact/highest parity paths pass
+        # encode_fold=False and stay direct.
+        enc_batchfold_ok = (encode_fold is not False
+                            and enc_precision is None
+                            and stack != "folded"
+                            and cfg.mode == "causal"
+                            and cfg.codec == "audiodec")
+        use_enc_batchfold = enc_batchfold_ok and mesh is None
         if use_enc_batchfold:
             from functools import partial as _partial
             from audiodec_tpu.models.fast import encoder_apply_batchfold
@@ -249,7 +256,13 @@ class BatchTranscoder:
         if mesh is not None:
             self.encode, self.decode = make_sharded_codec(
                 mesh, params, cfg, vocoder=voc,
-                dtype=dtype, dec_dtype=dec_dtype)
+                dtype=dtype, dec_dtype=dec_dtype,
+                encode_fold=(
+                    (None if encode_fold in (None, True) else encode_fold)
+                    if enc_batchfold_ok else False),
+                decode_fold=(
+                    (None if decode_fold in (None, True) else decode_fold)
+                    if (dec_batchfold_ok or voc_batchfold_ok) else False))
             if pcm16:
                 dec, pcm = self.decode, jax.jit(_pcm16)
                 self.decode = lambda idx: pcm(dec(idx))

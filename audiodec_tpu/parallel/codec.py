@@ -101,22 +101,42 @@ def _left_halo(x, halo: int, axis_name: str):
 
 def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
                        vocoder: Optional[Tuple[dict, VocoderConfig]] = None,
-                       dtype=jnp.float32, dec_dtype=None):
+                       dtype=jnp.float32, dec_dtype=None,
+                       encode_fold=False, decode_fold=False):
     """Build jitted sharded encode/decode over a ('data','seq') mesh.
 
     Returns (encode, decode):
       encode(x: (B, T, C) sharded (data, seq)) -> idx (B, T//hop, Q)
       decode(idx) -> y (B, T, C)
-    T must be divisible by seq_size * hop.  RVQ indices are bit-identical to
-    the single-device batch path; waveforms match to f32 rounding (XLA may
-    reassociate conv reductions across the different padded shapes).
+    T must be divisible by seq_size * hop.  With the folds off (default),
+    RVQ indices are bit-identical to the single-device batch path;
+    waveforms match to f32 rounding (XLA may reassociate conv reductions
+    across the different padded shapes).
 
     dtype / dec_dtype mirror BatchTranscoder's dtype modes: dtype is the
     encoder-side compute dtype (VQ distances always f32), dec_dtype
     (default = dtype) the decoder/vocoder dtype — dtype=f32 +
     dec_dtype=bf16 is the mixed mode with indices identical to full f32.
+
+    encode_fold / decode_fold apply the round-4 batch-fold (models/fast)
+    INSIDE each shard's local chunk — the fold is a shard-local reshape,
+    so it composes with the chunk-halo exchange: the ppermute'd halo is
+    already part of the local input the fold sees, and the fold's own
+    chunk-0 head handling (zero halo == batch semantics for the causal
+    encoder; direct head patch for the decoder/vocoder) applies to the
+    local chunk exactly as on a single device.  Values: False = direct
+    convs (the bit-exact contract above), None = auto fold factor
+    (models/fast.batchfold_auto on the LOCAL length), int = fixed factor.
+    Folded paths keep the single-device folds' semantics: same numeric
+    class, measured-0 index flips for the encoder fold, bf16-class
+    rounding for the decoder fold (throughput modes only).
     """
     dec_dtype = dtype if dec_dtype is None else dec_dtype
+    # shard-local batch-folds (lazy import: models.fast imports this
+    # module for the halo helpers)
+    from audiodec_tpu.models import fast as _fast
+    enc_fold = (None if encode_fold is True else encode_fold)
+    dec_fold = (None if decode_fold is True else decode_fold)
 
     def _cast(tree, dt):
         return jax.tree_util.tree_map(
@@ -134,7 +154,11 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
     def enc_local(params, x):
         halo = _left_halo(x, h_samples, "seq")
         xp = jnp.concatenate([halo, x], axis=1).astype(dtype)
-        h = encoder_apply(params["encoder"], xp, cfg)
+        if encode_fold is not False:
+            h = _fast.encoder_apply_batchfold(params["encoder"], xp, cfg,
+                                              fold=enc_fold)
+        else:
+            h = encoder_apply(params["encoder"], xp, cfg)
         z = projector_apply(params["projector"], h, cfg)
         _, idx = rvq_forward_index(z.astype(jnp.float32),
                                    params["quantizer"])
@@ -145,7 +169,14 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
         idxp = jnp.concatenate([halo, idx], axis=1)
         zq = rvq_lookup(idxp, params["quantizer"]).astype(dec_dtype)
         if vocoder is None:
-            y = decoder_apply(params["decoder"], zq, cfg)
+            if decode_fold is not False:
+                y = _fast.decoder_apply_batchfold(params["decoder"], zq,
+                                                  cfg, fold=dec_fold)
+            else:
+                y = decoder_apply(params["decoder"], zq, cfg)
+        elif decode_fold is not False:
+            y = _fast.vocoder_apply_batchfold(params["voc"], zq, voc_cfg,
+                                              fold=dec_fold)
         else:
             y = vocoder_apply(params["voc"], zq, voc_cfg)
         return y[:, h_dec * hop:, :].astype(jnp.float32)

@@ -93,6 +93,52 @@ def test_sharded_vocoder_decode(setup):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("fold", [2, 4])
+def test_sharded_codec_with_batchfold(setup, fold):
+    """The round-4 batch-fold composes with the chunk-halo sharded codec
+    (make_sharded_codec encode_fold/decode_fold): the fold is a
+    shard-local reshape applied INSIDE each shard's halo'd chunk.  The
+    encoder fold is semantically exact for the purely-causal encoder, so
+    indices stay bit-identical to the unsharded DIRECT encoder; the
+    decoder fold (with its direct head patch) matches the unsharded
+    direct decode to f32 rounding."""
+    params, x = setup
+    mesh = make_mesh(data=2, seq=2)
+    encode, decode = make_sharded_codec(mesh, params, CFG,
+                                        encode_fold=fold, decode_fold=fold)
+
+    idx_ref = reference_encode(params, x)
+    idx = encode(x)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+    zq = rvq_lookup(idx_ref, params["quantizer"])
+    y_ref = decoder_apply(params["decoder"], zq, CFG)
+    y = decode(idx)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_vocoder_decode_batchfold(setup):
+    """Vocoder-receiver variant of the shard-local batch-fold."""
+    params, x = setup
+    voc_cfg = VocoderConfig(in_channels=CFG.code_dim, channels=16,
+                            upsample_scales=(5, 5, 4, 3),
+                            upsample_kernel_sizes=(10, 10, 8, 6),
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilations=((1, 3),), groups=2)
+    voc = vocoder_init(jax.random.PRNGKey(7), voc_cfg)
+    mesh = make_mesh(data=2, seq=2)
+    encode, decode = make_sharded_codec(mesh, params, CFG,
+                                        vocoder=(voc, voc_cfg),
+                                        decode_fold=2)
+    idx = encode(x)
+    zq = rvq_lookup(idx, params["quantizer"])
+    y_ref = vocoder_apply(voc, zq, voc_cfg)
+    y = decode(idx)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("tp", [2, 4])
 def test_tensor_parallel_codec(setup, tp):
     """Channel-sharded (Megatron column/row) codec == single-device batch
