@@ -223,14 +223,17 @@ class BatchTranscoder:
         else:
             enc_apply = encoder_apply
         if int8_decode and (voc is not None or cfg.mode != "causal"
-                            or cfg.codec != "audiodec"):
+                            or cfg.codec != "audiodec"
+                            or mesh is not None):
             # int8 residual stacks exist only for the causal audiodec
-            # decoder; a vocoder-pair decode or non-audiodec config would
+            # decoder on the single-device path; a vocoder-pair decode,
+            # non-audiodec config, or sharded (--dp/--seq) run would
             # otherwise silently get a different mode than asked for
             import warnings
             warnings.warn(
                 "int8-decode cannot be honored for "
                 + ("vocoder-pair decodes" if voc is not None
+                   else "sharded (--dp/--seq) runs" if mesh is not None
                    else f"mode={cfg.mode}/codec={cfg.codec}")
                 + "; running the non-int8 decoder instead")
             int8_decode = False
