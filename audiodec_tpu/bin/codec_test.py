@@ -133,6 +133,13 @@ def bucket_batches(dataset, batch_size: int, chunk: int, prefetch: int = 2,
         yield item
 
 
+def _fold_arg(v):
+    """Normalize a fold flag to models/fast's fold= argument.  Identity
+    checks, not `in (None, True)`: an explicit factor of 1 (== True in
+    Python) must mean "direct", not auto."""
+    return None if (v is None or v is True) else v
+
+
 def _pcm16(y):
     """Device-side PCM16 quantization, bit-identical to write_wav's host
     conversion (round-half-away-from-zero at scale 2^15 — exact in f32 —
@@ -178,6 +185,24 @@ class BatchTranscoder:
         # path; never for the f32 parity decoder (the fold changes the
         # numeric class to bf16-reassociation level)
         self.decode_fold = decode_fold
+        if int8_decode and (voc is not None or cfg.mode != "causal"
+                            or cfg.codec != "audiodec"
+                            or mesh is not None):
+            # int8 residual stacks exist only for the causal audiodec
+            # decoder on the single-device path; a vocoder-pair decode,
+            # non-audiodec config, or sharded (--dp/--seq) run would
+            # otherwise silently get a different mode than asked for.
+            # Downgrade BEFORE the fold-eligibility checks below so the
+            # fallback is the normal (folded, when eligible) decoder, not
+            # a fully-direct one.
+            import warnings
+            warnings.warn(
+                "int8-decode cannot be honored for "
+                + ("vocoder-pair decodes" if voc is not None
+                   else "sharded (--dp/--seq) runs" if mesh is not None
+                   else f"mode={cfg.mode}/codec={cfg.codec}")
+                + "; running the non-int8 decoder instead")
+            int8_decode = False
         # the same fold policy drives both the single-device applies and
         # the sharded (mesh) codec: the fold is a shard-local reshape, so
         # under a mesh it runs inside each shard's chunk
@@ -215,28 +240,12 @@ class BatchTranscoder:
         if use_enc_batchfold:
             from functools import partial as _partial
             from audiodec_tpu.models.fast import encoder_apply_batchfold
-            enc_apply = _partial(
-                encoder_apply_batchfold,
-                fold=(None if encode_fold in (None, True) else encode_fold))
+            enc_apply = _partial(encoder_apply_batchfold,
+                                 fold=_fold_arg(encode_fold))
         elif use_folded:
             enc_apply = encoder_apply_folded
         else:
             enc_apply = encoder_apply
-        if int8_decode and (voc is not None or cfg.mode != "causal"
-                            or cfg.codec != "audiodec"
-                            or mesh is not None):
-            # int8 residual stacks exist only for the causal audiodec
-            # decoder on the single-device path; a vocoder-pair decode,
-            # non-audiodec config, or sharded (--dp/--seq) run would
-            # otherwise silently get a different mode than asked for
-            import warnings
-            warnings.warn(
-                "int8-decode cannot be honored for "
-                + ("vocoder-pair decodes" if voc is not None
-                   else "sharded (--dp/--seq) runs" if mesh is not None
-                   else f"mode={cfg.mode}/codec={cfg.codec}")
-                + "; running the non-int8 decoder instead")
-            int8_decode = False
         if int8_decode:
             # quantized-decoder mode: int8 MXU dots in every decoder
             # residual stack; encoder/RVQ unaffected (indices identical to
@@ -260,12 +269,11 @@ class BatchTranscoder:
             self.encode, self.decode = make_sharded_codec(
                 mesh, params, cfg, vocoder=voc,
                 dtype=dtype, dec_dtype=dec_dtype,
-                encode_fold=(
-                    (None if encode_fold in (None, True) else encode_fold)
-                    if enc_batchfold_ok else False),
-                decode_fold=(
-                    (None if decode_fold in (None, True) else decode_fold)
-                    if (dec_batchfold_ok or voc_batchfold_ok) else False))
+                encode_fold=(_fold_arg(encode_fold)
+                             if enc_batchfold_ok else False),
+                decode_fold=(_fold_arg(decode_fold)
+                             if (dec_batchfold_ok or voc_batchfold_ok)
+                             else False))
             if pcm16:
                 dec, pcm = self.decode, jax.jit(_pcm16)
                 self.decode = lambda idx: pcm(dec(idx))
@@ -310,8 +318,7 @@ class BatchTranscoder:
 
             @jax.jit
             def decode(idx):
-                fold_arg = (None if decode_fold in (None, True)
-                            else decode_fold)
+                fold_arg = _fold_arg(decode_fold)
                 if use_batchfold:
                     from audiodec_tpu.models.fast import decode_batchfold
                     y = decode_batchfold(

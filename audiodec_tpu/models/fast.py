@@ -122,7 +122,8 @@ def batchfold_auto(n_frames: int, target_chunk: int = 200,
     return f
 
 
-def _apply_batchfold_frames(apply_fn, zq, h: int, hop: int, f: int):
+def _apply_batchfold_frames(apply_fn, zq, h: int, hop: int, f: int,
+                            head_patch: bool = True):
     """Generic frame-level batch-fold for an upsampling decoder/vocoder:
     zq (B, n, D) -> chunks (B*F, n/F + h, D) with an h-frame left halo of
     REAL context (the chunk-halo recipe of parallel/codec.py, reshape
@@ -130,7 +131,12 @@ def _apply_batchfold_frames(apply_fn, zq, h: int, hop: int, f: int):
     unfold, and a direct head patch for the first h*hop samples (batch-
     mode CausalConvTranspose1d left-pads by REPLICATING the first frame,
     ref layers/conv_layer.py:184-197, which a zero halo cannot
-    reproduce — same reason as parallel/codec.py dec_head)."""
+    reproduce — same reason as parallel/codec.py dec_head).
+
+    head_patch=False skips the direct head decode, leaving the first
+    h*hop output samples zero-halo-decoded — for callers that trim or
+    re-patch that region themselves (parallel/codec.py dec_local trims
+    exactly [0, h*hop) and repairs the global head via dec_head)."""
     b, n, d = zq.shape
     pad = (-n) % f
     zp = jnp.pad(zq, ((0, 0), (h, pad), (0, 0)))
@@ -140,11 +146,14 @@ def _apply_batchfold_frames(apply_fn, zq, h: int, hop: int, f: int):
         axis=1).reshape(b * f, nc + h, d)
     y = apply_fn(chunks)
     y = y[:, h * hop:, :].reshape(b, f * nc * hop, -1)[:, :n * hop]
+    if not head_patch:
+        return y
     head = apply_fn(zq[:, :min(2 * h, n)])[:, :h * hop]
     return jax.lax.dynamic_update_slice(y, head, (0, 0, 0))
 
 
-def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None):
+def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None,
+                            head_patch: bool = True):
     """Full-decoder apply with the code-frame axis folded into batch
     (_apply_batchfold_frames with halo = decoder_halo_frames) — re-tiles
     the dominant C=32 stack at the output rate onto the MXU.
@@ -164,10 +173,12 @@ def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None):
         return _decoder_direct(p, zq, cfg)
     return _apply_batchfold_frames(
         lambda z: _decoder_direct(p, z, cfg), zq,
-        decoder_halo_frames(cfg), cfg.hop_length, f)
+        decoder_halo_frames(cfg), cfg.hop_length, f,
+        head_patch=head_patch)
 
 
-def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None):
+def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None,
+                            head_patch: bool = True):
     """HiFiGAN vocoder apply with the code-frame axis folded into batch
     (_apply_batchfold_frames with halo = vocoder_halo_frames) — the AD
     v1/v2 receiver's analogue of decoder_apply_batchfold, for bf16-class
@@ -183,7 +194,7 @@ def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None):
     hop = math.prod(voc_cfg.upsample_scales)
     return _apply_batchfold_frames(
         lambda z: vocoder_apply(p, z, voc_cfg), zq,
-        vocoder_halo_frames(voc_cfg), hop, f)
+        vocoder_halo_frames(voc_cfg), hop, f, head_patch=head_patch)
 
 
 def encoder_apply_batchfold(p, x, cfg: GeneratorConfig, *, fold=None):

@@ -168,15 +168,20 @@ def make_sharded_codec(mesh: Mesh, params, cfg: GeneratorConfig,
         halo = _left_halo(idx, h_dec, "seq")
         idxp = jnp.concatenate([halo, idx], axis=1)
         zq = rvq_lookup(idxp, params["quantizer"]).astype(dec_dtype)
+        # head_patch=False: the fold's in-chunk direct head (first
+        # h_dec*hop samples) would be entirely trimmed by the slice below
+        # and re-done globally by dec_head — skip the redundant decode
         if vocoder is None:
             if decode_fold is not False:
                 y = _fast.decoder_apply_batchfold(params["decoder"], zq,
-                                                  cfg, fold=dec_fold)
+                                                  cfg, fold=dec_fold,
+                                                  head_patch=False)
             else:
                 y = decoder_apply(params["decoder"], zq, cfg)
         elif decode_fold is not False:
             y = _fast.vocoder_apply_batchfold(params["voc"], zq, voc_cfg,
-                                              fold=dec_fold)
+                                              fold=dec_fold,
+                                              head_patch=False)
         else:
             y = vocoder_apply(params["voc"], zq, voc_cfg)
         return y[:, h_dec * hop:, :].astype(jnp.float32)
