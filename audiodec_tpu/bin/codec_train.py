@@ -269,6 +269,8 @@ def main(argv=None):
         eval_iter_fn=eval_it_fn,
         strict_start=(train_mode == "autoencoder"),
         primary=primary,
+        steps_per_epoch=len(train_dl) or None,
+        adv_steps_per_epoch=len(adv_dl) or None,
     )
     if args.resume:
         trainer.resume(args.resume)

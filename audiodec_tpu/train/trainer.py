@@ -75,14 +75,22 @@ class GanTrainer:
                  adv_train_iter: Optional[Iterator] = None,
                  start_step: int = 0,
                  strict_start: bool = True,
-                 primary: bool = True):
+                 primary: bool = True,
+                 steps_per_epoch: Optional[int] = None,
+                 adv_steps_per_epoch: Optional[int] = None):
         """strict_start: generator/discriminator start at step >= start
         (autoencoder semantics); False uses > (vocoder semantics,
         ref trainer/vocoder.py:65,79 vs autoencoder.py:56-65).
 
         primary: in multi-process training only the primary host writes
         checkpoints and metrics (state is replicated, so one copy is the
-        truth); every process still executes every step."""
+        truth); every process still executes every step.
+
+        steps_per_epoch (= len(train_loader)): enables epoch bookkeeping —
+        the reference checkpoints carry `epochs` alongside `steps`
+        (ref: trainer/trainerGAN.py:95-121); ours count completed passes
+        over the active loader (adv_steps_per_epoch for the adversarial
+        stage, defaulting to steps_per_epoch)."""
         self.steps_fns = steps_fns
         self.state = state
         self.config = config
@@ -111,6 +119,10 @@ class GanTrainer:
         self.log_interval = config.get("log_interval_steps", 100)
         self._log_accum: Dict[str, float] = {}
         self._log_count = 0
+        self.epochs = 0
+        self._epoch_progress = 0
+        self.steps_per_epoch = steps_per_epoch
+        self.adv_steps_per_epoch = adv_steps_per_epoch or steps_per_epoch
 
     def _adversarial(self) -> bool:
         if self.strict_start:
@@ -124,13 +136,16 @@ class GanTrainer:
         if not self.primary:
             return
         save_checkpoint(path or self._ckpt_path(self.steps), self.state,
-                        self.steps)
-        logging.info("Saved checkpoint @ %d steps", self.steps)
+                        self.steps, extra={"epochs": self.epochs})
+        logging.info("Saved checkpoint @ %d steps (%d epochs)", self.steps,
+                     self.epochs)
 
     def resume(self, path: str):
         self.state, header = load_checkpoint(path, template=self.state)
         self.steps = header["steps"]
-        logging.info("Resumed from %s @ %d steps", path, self.steps)
+        self.epochs = int(header.get("epochs", 0))
+        logging.info("Resumed from %s @ %d steps (%d epochs)", path,
+                     self.steps, self.epochs)
 
     def _accumulate(self, metrics):
         # keep device scalars lazy: a float() here would block every step on
@@ -151,16 +166,21 @@ class GanTrainer:
             self._log_accum, self._log_count = {}, 0
 
     def _eval(self):
-        accum: Dict[str, float] = {}
+        # lazy accumulation, same discipline as _accumulate: summing jax
+        # scalars keeps every batch's metrics on-device; the single float()
+        # per key at the end is the only host sync of the whole eval pass
+        # (a per-batch float() would serialize on the ~30 ms-RTT tunnel)
+        accum: Dict[str, object] = {}
         n = 0
         for batch in self.eval_iter_fn():
             m = self.steps_fns["eval"](self.state, *(
                 batch if isinstance(batch, tuple) else (batch,)))
             for k, v in m.items():
-                accum[k] = accum.get(k, 0.0) + float(v)
+                prev = accum.get(k)
+                accum[k] = v if prev is None else prev + v
             n += 1
         if n:
-            self.writer.write(self.steps, {k: v / n for k, v in
+            self.writer.write(self.steps, {k: float(v) / n for k, v in
                                            accum.items()}, prefix="eval/")
 
     def run(self, max_steps: Optional[int] = None):
@@ -193,6 +213,13 @@ class GanTrainer:
                     if "metric" in self.steps_fns else self.steps_fns["train"]
                 self.state, metrics = fn(self.state, *args)
                 self.steps += 1
+                spe = (self.adv_steps_per_epoch if adv
+                       else self.steps_per_epoch)
+                if spe:
+                    self._epoch_progress += 1
+                    if self._epoch_progress >= spe:
+                        self.epochs += 1
+                        self._epoch_progress = 0
                 self._accumulate(metrics)
                 if self.steps % self.log_interval == 0:
                     self._flush_log()

@@ -352,3 +352,19 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         obj = obj["model"]
         obj = obj.get("generator", obj)
     return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def load_torch_meta(path: str) -> Dict[str, int]:
+    """Training-progress metadata from a reference .pkl checkpoint: the
+    reference persists `steps` AND `epochs` alongside the model
+    (ref: trainer/trainerGAN.py:95-121); both ride our checkpoint header
+    so an import -> resume -> save round-trip keeps them."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    meta = {}
+    if isinstance(obj, dict):
+        for k in ("steps", "epochs"):
+            if k in obj:
+                meta[k] = int(obj[k])
+    return meta

@@ -33,19 +33,25 @@ def main():
         import_autoencoder,
         import_vocoder,
         load_torch_checkpoint,
+        load_torch_meta,
     )
 
     config = load_config(args.config)
     cfg = generator_config(config)
     sd = load_torch_checkpoint(args.torch)
+    meta = load_torch_meta(args.torch)
     if config.get("model_type") in ("HiFiGAN", "UnivNet"):
         params = import_vocoder(sd, cfg)
     else:
         params = import_autoencoder(sd, cfg)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    save_checkpoint(args.out, {"gen": params}, steps=0,
-                    extra={"imported_from": os.path.basename(args.torch)})
+    # steps/epochs ride the header like the reference's pickle dict keeps
+    # them next to the weights (ref: trainer/trainerGAN.py:95-121)
+    save_checkpoint(args.out, {"gen": params},
+                    steps=meta.get("steps", 0),
+                    extra={"imported_from": os.path.basename(args.torch),
+                           "epochs": meta.get("epochs", 0)})
     dst = os.path.join(os.path.dirname(os.path.abspath(args.out)),
                        "config.yml")
     if os.path.abspath(args.config) != dst:
