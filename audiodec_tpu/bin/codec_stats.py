@@ -65,21 +65,37 @@ class RunningMoments:
         return self.mean.astype(np.float32), scale.astype(np.float32)
 
 
-def _windows(dataset, window: int, hop: int):
-    """Yield (padded (window, C) slice, n_valid_frames) over every utterance.
+def _windows(dataset, window: int, hop: int, halo: int = 0):
+    """Yield (padded (halo + window, C) slice, n_valid_frames) over every
+    utterance.
 
     Fixed window shapes keep the device path to one XLA compilation
     regardless of utterance lengths; short tails are zero-padded with the
-    padded frames trimmed from the moment update."""
+    padded frames trimmed from the moment update.
+
+    Every window carries `halo` samples of REAL left context from its own
+    utterance (the receptive-field halo of parallel/codec.py; zeros at
+    utterance start, which IS the batch path's zero left-padding), so the
+    encoded zq population matches the reference's whole-utterance forward
+    (ref codecStatistic.py:101-113) instead of restarting causal context
+    at every window boundary.  The consumer drops the first halo//hop
+    frames of each window's codes."""
     for i in range(len(dataset)):
         x = dataset[i]
+        buf = np.zeros((halo + window, x.shape[-1]), np.float32)
+
+        def _make(s, n_samples):
+            lo = max(0, s - halo)
+            buf[:] = 0.0
+            start = halo - (s - lo)
+            buf[start:start + (s + n_samples - lo)] = x[lo:s + n_samples]
+            return buf.copy()
+
         for s in range(0, len(x) - window + 1, window):
-            yield x[s:s + window], window // hop
+            yield _make(s, window), window // hop
         rem = len(x) % window if len(x) >= window else len(x)
         if rem >= hop:
-            pad = np.zeros((window, x.shape[-1]), np.float32)
-            pad[:rem] = x[len(x) - rem:]
-            yield pad, rem // hop
+            yield _make(len(x) - rem, rem), rem // hop
 
 
 def extract_stats(params, cfg, dataset, window_hops: int = 160,
@@ -89,7 +105,13 @@ def extract_stats(params, cfg, dataset, window_hops: int = 160,
     full device utilization instead of the reference's one-utterance-at-a-
     time loop (ref codecStatistic.py:101-113).  Any window grouping gives
     the same moments (Welford merge is exact), so batch/dp size don't
-    change the result."""
+    change the result.
+
+    Windows carry a receptive-field halo of real left context (_windows),
+    so the zq population equals the reference's whole-utterance encode to
+    f32 rounding — windowing is an implementation detail, not a semantic
+    change (pinned by test_variants.test_extract_stats_windowed_equals_
+    whole_utterance)."""
     sharding = None
     if dp > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -99,12 +121,16 @@ def extract_stats(params, cfg, dataset, window_hops: int = 160,
         assert batch_size % dp == 0, \
             f"--batch-size {batch_size} must divide over --dp {dp}"
 
+    from audiodec_tpu.parallel.codec import encoder_halo_samples
+    halo = encoder_halo_samples(cfg)
+    halo_frames = halo // cfg.hop_length
+
     @jax.jit
     def codes(x):
         h = encoder_apply(params["encoder"], x, cfg)
         z = projector_apply(params["projector"], h, cfg)
         zq, _ = rvq_forward_index(z, params["quantizer"])
-        return zq
+        return zq[:, halo_frames:, :]  # drop the halo-context frames
 
     window = cfg.hop_length * window_hops
     mom = RunningMoments(cfg.code_dim)
@@ -122,7 +148,7 @@ def extract_stats(params, cfg, dataset, window_hops: int = 160,
             [zq[j, :n] for j, n in enumerate(counts)], axis=0))
 
     buf, counts = [], []
-    for w, n_frames in _windows(dataset, window, cfg.hop_length):
+    for w, n_frames in _windows(dataset, window, cfg.hop_length, halo):
         buf.append(w)
         counts.append(n_frames)
         if len(buf) == batch_size:

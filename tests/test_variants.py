@@ -159,3 +159,47 @@ def test_extract_stats_batched_dp_equivalence(tmp_path):
     dp = extract_stats(params, cfg, ds, window_hops=2, batch_size=4, dp=2)
     np.testing.assert_allclose(b4, ref, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(dp, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_extract_stats_windowed_equals_whole_utterance(tmp_path):
+    """Windowed extraction == the reference's whole-utterance forward
+    (ref codecStatistic.py:101-113): the receptive-field halo carried by
+    _windows means causal context is never reset at window seams, so the
+    zq population is the whole-utterance one to f32 rounding."""
+    from audiodec_tpu.bin.codec_stats import RunningMoments, extract_stats
+    from audiodec_tpu.data import write_wav, SingleDataset
+    from audiodec_tpu.models.autoencoder import (
+        encoder_apply,
+        projector_apply,
+    )
+    from audiodec_tpu.ops.vq import rvq_forward_index
+
+    cfg = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                          codebook_num=2, codebook_size=16)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    hop = cfg.hop_length
+    rng = np.random.default_rng(11)
+    xs = []
+    for i in range(3):
+        # multi-window utterances (window_hops=3 below => several seams),
+        # ragged tails included
+        t = (7 + 3 * i) * hop + (53 * i) % hop
+        x = (0.3 * rng.standard_normal((t, 1))).clip(-1, 1).astype(np.float32)
+        xs.append(x)
+        write_wav(str(tmp_path / f"u{i}.wav"), x, 48000)
+    ds = SingleDataset(str(tmp_path))
+
+    # oracle: whole-utterance encode, exactly the reference's population
+    mom = RunningMoments(cfg.code_dim)
+    for i in range(len(ds)):
+        x = ds[i]
+        n = len(x) // hop
+        h = encoder_apply(params["encoder"], jnp.asarray(x)[None], cfg)
+        z = projector_apply(params["projector"], h, cfg)
+        zq, _ = rvq_forward_index(z, params["quantizer"])
+        mom.update(np.asarray(zq, np.float64)[0, :n])
+    mean, scale = mom.finalize()
+    whole = np.stack([mean, scale])
+
+    windowed = extract_stats(params, cfg, ds, window_hops=3, batch_size=2)
+    np.testing.assert_allclose(windowed, whole, rtol=1e-5, atol=1e-6)
