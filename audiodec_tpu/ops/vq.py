@@ -93,6 +93,66 @@ def vq_nearest_2pass(z: jnp.ndarray, embed: jnp.ndarray,
     return best.astype(jnp.int32)
 
 
+def vq_distances_exact(z: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances with a HIGHEST-precision cross term (true-f32
+    multiplies on TPU; identical to vq_distances on CPU).  The oracle the
+    two-pass argmin re-scores against."""
+    z2 = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+    e2 = jnp.sum(jnp.square(embed), axis=-1)
+    cross = jnp.einsum("...d,nd->...n", z, embed,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    return z2 - 2.0 * cross + e2
+
+
+def rvq_shortlist_ranks(z: jnp.ndarray, params: dict,
+                        pass1_dtype=None) -> jnp.ndarray:
+    """Exactness-coverage validator for vq_nearest_2pass's k shortlist.
+
+    For every frame and every quantizer layer, computes the RANK of the
+    true (highest-precision f32) argmin within the pass-1 distances the
+    shortlist is drawn from (0 = pass-1 already ranks it best; ties
+    resolve to the lowest index, jax.lax.top_k's order).  vq_nearest_2pass
+    is exact for a frame iff rank < k, so `max(ranks)` over a corpus is
+    the tight lower bound on a safe k — run this whenever goldens are
+    re-pinned to keep the k=16 default honest (VERDICT r4 §weak-5;
+    ref layers/vq_module.py:63-69 is the torch f32 oracle being matched).
+
+    pass1_dtype: optional cast of z/embeddings for the pass-1 distances
+    only — emulates the hardware's lower-precision first pass on CPU (on
+    TPU leave None: the default-precision einsum IS the hardware pass 1).
+    Residuals follow the exact-index path, i.e. the sequence the two-pass
+    decoder actually produces.
+
+    z: (B, T, D) f32.  Returns ranks (B, T, Q) int32.
+    """
+    embed = params["embed"]
+    num_q, n_embed = embed.shape[0], embed.shape[1]
+    residual = z
+    ranks = []
+    for q in range(num_q):
+        e_q = embed[q]
+        if pass1_dtype is not None:
+            d1 = vq_distances(residual.astype(pass1_dtype),
+                              e_q.astype(pass1_dtype)).astype(jnp.float32)
+        else:
+            d1 = vq_distances(residual, e_q)
+        dex = vq_distances_exact(residual, e_q)
+        true_idx = jnp.argmin(dex, axis=-1)
+        d1_true = jnp.take_along_axis(d1, true_idx[..., None],
+                                      axis=-1)[..., 0]
+        below = jnp.sum((d1 < d1_true[..., None]).astype(jnp.int32),
+                        axis=-1)
+        ids = jnp.arange(n_embed)
+        tie_before = jnp.sum(
+            ((d1 == d1_true[..., None])
+             & (ids < true_idx[..., None])).astype(jnp.int32), axis=-1)
+        ranks.append(below + tie_before)
+        quant = jnp.take(e_q, true_idx, axis=0)
+        residual = residual - quant
+    return jnp.stack(ranks, axis=-1).astype(jnp.int32)
+
+
 def _straight_through(residual, quant):
     return residual + jax.lax.stop_gradient(quant - residual)
 

@@ -204,3 +204,97 @@ def test_ema_data_parallel_matches_single_device(params):
     np.testing.assert_allclose(np.asarray(new_p["embed"]),
                                np.asarray(ref_p["embed"]), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_shortlist_ranks_zero_on_cpu(params):
+    """On CPU pass-1 and exact distances are the same f32 math, so the
+    true argmin always ranks 0 in pass 1 (the validator's fixed point)."""
+    from audiodec_tpu.ops.vq import rvq_shortlist_ranks
+
+    z = jnp.asarray(RNG.standard_normal((2, 9, D)).astype(np.float32))
+    ranks = np.asarray(rvq_shortlist_ranks(z, params))
+    assert ranks.shape == (2, 9, Q)
+    assert (ranks == 0).all()
+
+
+def _tight_params():
+    """Codebooks whose entries cluster (near-tie distances), so a
+    low-precision pass 1 genuinely reorders the argmin ranking."""
+    rng = np.random.default_rng(123)
+    base = rng.standard_normal((Q, 1, D))
+    embed = (base + 3e-3 * rng.standard_normal((Q, N, D))).astype(np.float32)
+    return {"embed": jnp.asarray(embed),
+            "cluster_size": jnp.zeros((Q, N), jnp.float32),
+            "embed_avg": jnp.asarray(embed)}
+
+
+def test_shortlist_ranks_against_numpy_oracle():
+    """Rank bookkeeping (strictly-below count + lowest-index tie rule) and
+    exact-path residual threading vs a numpy oracle, with a genuinely
+    perturbed pass 1 (pass1_dtype=float16 emulates the hardware's
+    lower-precision first pass on CPU)."""
+    from audiodec_tpu.ops.vq import (
+        rvq_shortlist_ranks,
+        vq_distances,
+        vq_distances_exact,
+    )
+
+    params = _tight_params()
+    z = jnp.asarray(RNG.standard_normal((3, 7, D)).astype(np.float32))
+    ranks = np.asarray(rvq_shortlist_ranks(z, params,
+                                           pass1_dtype=jnp.float16))
+
+    # oracle: same distance functions, rank computed in numpy
+    residual = z
+    embed = params["embed"]
+    want = []
+    for q in range(Q):
+        d1 = np.asarray(vq_distances(residual.astype(jnp.float16),
+                                     embed[q].astype(jnp.float16)),
+                        np.float32)
+        dex = np.asarray(vq_distances_exact(residual, embed[q]))
+        true_idx = dex.argmin(-1)
+        d1_true = np.take_along_axis(d1, true_idx[..., None], -1)[..., 0]
+        below = (d1 < d1_true[..., None]).sum(-1)
+        ties = ((d1 == d1_true[..., None])
+                & (np.arange(N) < true_idx[..., None])).sum(-1)
+        want.append(below + ties)
+        residual = residual - jnp.take(embed[q], true_idx, axis=0)
+    want = np.stack(want, -1)
+    np.testing.assert_array_equal(ranks, want)
+    # the f16 perturbation must actually exercise nonzero ranks, or this
+    # test proves nothing about the bookkeeping
+    assert (want > 0).any()
+
+
+def test_shortlist_rank_predicts_2pass_exactness():
+    """The validator's contract: vq_nearest_2pass with k > rank recovers
+    the true argmin (here with the same f16-perturbed pass 1)."""
+    from audiodec_tpu.ops.vq import (
+        rvq_shortlist_ranks,
+        vq_distances_exact,
+    )
+
+    params = _tight_params()
+    z = jnp.asarray(RNG.standard_normal((64, D)).astype(np.float32))
+    embed = params["embed"][0]
+    ranks = np.asarray(rvq_shortlist_ranks(z[None], params,
+                                           pass1_dtype=jnp.float16))[0, :, 0]
+    k = int(ranks.max()) + 1
+
+    # a 2-pass variant whose pass 1 is the same f16 distances
+    from audiodec_tpu.ops.vq import vq_distances as _vqd
+    d1 = _vqd(z.astype(jnp.float16), embed.astype(jnp.float16))
+    _, cand = jax.lax.top_k(-d1.astype(jnp.float32), k)
+    e = jnp.take(embed, cand, axis=0)
+    z2 = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+    e2 = jnp.sum(jnp.square(e), axis=-1)
+    cross = jnp.einsum("...d,...kd->...k", z, e,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    dk = z2 - 2.0 * cross + e2
+    m = jnp.min(dk, axis=-1, keepdims=True)
+    best = np.asarray(jnp.min(jnp.where(dk <= m, cand, N), axis=-1))
+
+    true_idx = np.asarray(vq_distances_exact(z, embed)).argmin(-1)
+    np.testing.assert_array_equal(best, true_idx)

@@ -42,6 +42,14 @@ def main():
                     help="subset of mode names to run (remote compiles are "
                          "minutes each; the full matrix can exceed a "
                          "tunnel session budget)")
+    ap.add_argument("--rank-coverage", action="store_true",
+                    help="exactness-coverage validator for --precision "
+                         "exact's two-pass argmin: measure the worst rank "
+                         "of the TRUE f32 argmin within the pass-1 "
+                         "(default-precision) distances over the golden's "
+                         "audio + a random corpus, and check it clears "
+                         "the k=16 shortlist with margin.  Run whenever "
+                         "goldens are re-pinned.")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -61,6 +69,51 @@ def main():
     q = cfg.codebook_num
     ref = data["idx_stream"]  # (Q, frames), flattened with q*N offsets
     offs = (np.arange(q) * cfg.codebook_size)[None, None, :]
+
+    if args.rank_coverage:
+        from audiodec_tpu.ops.vq import rvq_shortlist_ranks
+
+        # z exactly as --precision exact produces it (encoder+projector
+        # scoped to 'high'); ranks measured against the default-precision
+        # pass 1 the shortlist is drawn from
+        @jax.jit
+        def ranks_of(xb):
+            with jax.default_matmul_precision("high"):
+                h = encoder_apply(params["encoder"], xb, cfg)
+                z = projector_apply(params["projector"], h, cfg)
+            return rvq_shortlist_ranks(z.astype(jnp.float32),
+                                       params["quantizer"])
+
+        r_golden = np.asarray(ranks_of(x))
+        # widen the frame population well past the golden clip
+        xr = 0.3 * jax.random.normal(jax.random.PRNGKey(3),
+                                     (8, 300 * 1600, 1), jnp.float32)
+        r_rand = np.asarray(jax.jit(ranks_of)(xr))
+        allr = np.concatenate([r_golden.ravel(), r_rand.ravel()])
+        worst = int(allr.max())
+        k_default = 16
+        out = {
+            "probe": "rank_coverage",
+            "golden": args.golden,
+            "frames_x_layers": int(allr.size),
+            "worst_true_argmin_rank": worst,
+            "p999_rank": int(np.quantile(allr, 0.999)),
+            "nonzero_rank_rate": round(float((allr > 0).mean()), 6),
+            "k_default": k_default,
+            "k_min_safe": worst + 1,
+            "covered_by_default_k": bool(worst < k_default),
+            "suggested_k": (k_default if 2 * (worst + 1) <= k_default
+                            else int(2 ** np.ceil(np.log2(
+                                2 * (worst + 1))))),
+            "backend": jax.default_backend(),
+        }
+        print(json.dumps(out), flush=True)
+        if not out["covered_by_default_k"]:
+            print(json.dumps({"warning": "true argmin rank exceeds the "
+                              "k=16 shortlist: --precision exact is NOT "
+                              "exact on this checkpoint; pass --exact-k "
+                              f">= {out['suggested_k']}"}), flush=True)
+        return
 
     import contextlib
 
