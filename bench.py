@@ -144,6 +144,17 @@ def main():
 
     audio_seconds = B * T / SR
     rtf = audio_seconds / dt
+
+    # MFU accounting (SURVEY §5: utilization, not just RTF): model FLOPs
+    # are the analytic direct-path transcode FLOPs (utils/flops.py,
+    # validated against XLA's cost model in tests/test_flops.py) — the
+    # folded paths execute MORE than this (halo redundancy), so MFU is
+    # conservative for them by construction.  Peak = v5e bf16 MXU rate.
+    from audiodec_tpu.utils.flops import transcode_flops
+    V5E_PEAK_TFLOPS = 197.0
+    model_flops = B * transcode_flops(cfg, T)["total"]
+    achieved_tflops = model_flops / dt / 1e12
+    mfu = achieved_tflops / V5E_PEAK_TFLOPS
     print(json.dumps({
         "metric": "encode_decode_rtf",
         "value": round(rtf, 1),
@@ -158,6 +169,11 @@ def main():
         # models/fast.{encoder_apply,decoder_apply}_batchfold)
         "encode_fold": 8,
         "decode_fold": 8,
+        # utilization: model (direct-path) FLOPs per transcode, the rate
+        # they complete at, and the fraction of the v5e-chip bf16 peak
+        "model_gflops_per_transcode": round(model_flops / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu": round(mfu, 4),
         # session health: measured / nominal > 1 => this session's chip or
         # tunnel runs slow, scale expectations accordingly
         "session_ref_ms": round(ref_ms, 2),
