@@ -235,6 +235,134 @@ def mpd_apply(p, x, cfg: MultiPeriodConfig):
 
 
 # ---------------------------------------------------------------------------
+# batched (stacked) MSD / MPD — one conv per layer across all branches
+# ---------------------------------------------------------------------------
+#
+# The sequential applies above launch dozens of small convs per step (3 MSD
+# scales x 8 layers + 5 MPD periods x 6 layers on 0.2 s clips), which the
+# round-3 adv-step breakdown measured launch-bound at 0.07 TFLOP/s.  These
+# variants stack the branches (periods / scales) into a leading vmap axis —
+# identical per-branch weights structure, inputs zero-padded to the largest
+# branch — so each layer is ONE batched conv.  Validity masks (static, from
+# the conv length arithmetic) re-zero the padded region after every layer so
+# garbage can never leak into valid rows through the next layer's receptive
+# field; the returned feature maps are sliced to the exact sequential shapes,
+# so the loss path is numerically unchanged (f32-reassociation class only).
+# FLOP amplification from padding: ~5.5x for MPD (periods 2..11 padded to
+# 11 wide x T/2 high), ~1.7x for MSD — worth it iff the batched conv's MXU
+# rate outruns it; measured on hardware by tools/adv_probe.py (A/B'd, not
+# asserted: VERDICT r4 next-2).
+
+
+def _stack_trees(trees):
+    return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *trees)
+
+
+def mpd_apply_batched(p, x, cfg: MultiPeriodConfig):
+    """Numerically equal to mpd_apply (same nested output structure and
+    shapes); the 5 period discriminators run as one stacked conv per layer.
+    """
+    dcfg = cfg.discriminator
+    act = get_activation(dcfg.nonlinear_activation,
+                        dict(dcfg.nonlinear_activation_params))
+    periods = tuple(cfg.periods)
+    b, t, c = x.shape
+    folds, h0 = [], []
+    for per in periods:
+        xp, tp = x, t
+        if t % per:
+            n_pad = per - (t % per)
+            xp = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            tp += n_pad
+        h0.append(tp // per)
+        folds.append(xp.reshape(b, tp // per, per, c))
+    hmax, pmax = max(h0), max(periods)
+    y = jnp.stack([
+        jnp.pad(f, ((0, 0), (0, hmax - f.shape[1]),
+                    (0, pmax - f.shape[2]), (0, 0)))
+        for f in folds])  # (P, B, Hmax, Pmax, C)
+    sp = _stack_trees(p["discriminators"])
+
+    def _mask(hs, hdim):
+        m = np.zeros((len(periods), 1, hdim, 1, 1), np.float32)
+        for j, h in enumerate(hs):
+            m[j, :, :h] = 1.0
+        return jnp.asarray(m)
+
+    shapes = dcfg.layer_shapes()
+    hs = h0
+    heights, stacked_outs = [], []
+    for i, (k, _, _, ds) in enumerate(shapes):
+        pad = (k - 1) // 2
+        y = jax.vmap(lambda pp, yy, s=ds, pd=pad:
+                     noncausal_conv2d(yy, pp, stride=(s, 1),
+                                      padding=(pd, 0)))(sp["layers"][i], y)
+        y = act(y)
+        hs = [(h + 2 * pad - k) // ds + 1 for h in hs]
+        y = y * _mask(hs, y.shape[2])
+        heights.append(hs)
+        stacked_outs.append(y)
+    k2 = dcfg.kernel_sizes[1]
+    ko, po_pad = max(k2 - 1, 1), (k2 - 1) // 2
+    y = jax.vmap(lambda pp, yy:
+                 noncausal_conv2d(yy, pp, padding=(po_pad, 0)))(
+        sp["output_conv"], y)
+    h_out = [h + 2 * po_pad - ko + 1 for h in hs]
+
+    res = []
+    for j, per in enumerate(periods):
+        lst = [stacked_outs[i][j][:, :heights[i][j], :per, :]
+               for i in range(len(shapes))]
+        lst.append(y[j][:, :h_out[j], :per, :].reshape(b, -1))
+        res.append(lst)
+    return res
+
+
+def msd_apply_batched(p, x, cfg: MultiScaleConfig):
+    """Numerically equal to msd_apply; the 3 scale discriminators run as
+    one stacked (grouped) conv per layer, scales zero-padded to the
+    undownsampled length."""
+    dcfg = cfg.discriminator
+    act = get_activation(dcfg.nonlinear_activation,
+                        dict(dcfg.nonlinear_activation_params))
+    xs, lens = [], []
+    cur = x
+    for _ in range(cfg.scales):
+        xs.append(cur)
+        lens.append(cur.shape[1])
+        cur = _avg_pool1d(cur, cfg.pool_kernel, cfg.pool_stride,
+                          cfg.pool_padding)
+    tmax = lens[0]
+    y = jnp.stack([jnp.pad(xi, ((0, 0), (0, tmax - xi.shape[1]), (0, 0)))
+                   for xi in xs])  # (S, B, Tmax, C)
+    sp = _stack_trees(p["discriminators"])
+
+    def _mask(ls, tdim):
+        m = np.zeros((cfg.scales, 1, tdim, 1), np.float32)
+        for j, l in enumerate(ls):
+            m[j, :, :l] = 1.0
+        return jnp.asarray(m)
+
+    shapes = dcfg.layer_shapes()
+    n = len(shapes)
+    ls = lens
+    lens_per_layer, stacked_outs = [], []
+    for i, (k, _, _, stride, groups) in enumerate(shapes):
+        pad = (k - 1) // 2
+        y = jax.vmap(lambda pp, yy, s=stride, g=groups, pd=pad:
+                     noncausal_conv1d(yy, pp, stride=s, groups=g,
+                                      padding=pd))(sp["layers"][i], y)
+        if i < n - 1:
+            y = act(y)
+        ls = [(l + 2 * pad - k) // stride + 1 for l in ls]
+        y = y * _mask(ls, y.shape[2])
+        lens_per_layer.append(ls)
+        stacked_outs.append(y)
+    return [[stacked_outs[i][j][:, :lens_per_layer[i][j], :]
+             for i in range(n)] for j in range(cfg.scales)]
+
+
+# ---------------------------------------------------------------------------
 # UnivNet spectral discriminator (ref: discriminator.py:451-640)
 # ---------------------------------------------------------------------------
 
@@ -343,8 +471,15 @@ def _mono_fold(x):
     return x
 
 
-def hifigan_discriminator_apply(p, x, cfg: HiFiGANDiscriminatorConfig):
+def hifigan_discriminator_apply(p, x, cfg: HiFiGANDiscriminatorConfig,
+                                batched: bool = False):
+    """batched=True runs the stacked one-conv-per-layer MSD/MPD variants
+    (identical outputs to f32-reassociation tolerance; see the batched
+    section above for the measurement discipline)."""
     x = _mono_fold(x)
+    if batched:
+        return (msd_apply_batched(p["msd"], x, cfg.msd)
+                + mpd_apply_batched(p["mpd"], x, cfg.mpd))
     return msd_apply(p["msd"], x, cfg.msd) + mpd_apply(p["mpd"], x, cfg.mpd)
 
 
@@ -360,10 +495,12 @@ def univnet_discriminator_init(key, cfg: UnivNetDiscriminatorConfig) -> dict:
     return {"mrsd": mrsd_init(k1, cfg.mrsd), "mpd": mpd_init(k2, cfg.mpd)}
 
 
-def univnet_discriminator_apply(p, x, cfg: UnivNetDiscriminatorConfig):
+def univnet_discriminator_apply(p, x, cfg: UnivNetDiscriminatorConfig,
+                                batched: bool = False):
     # UnivNet only folds multi-channel input when flat_channel is set
     # (ref: UnivNet.py:98-100)
     if cfg.flat_channel:
         x = _mono_fold(x)
-    return (mrsd_apply(p["mrsd"], x, cfg.mrsd)
-            + mpd_apply(p["mpd"], x, cfg.mpd))
+    mpd = (mpd_apply_batched(p["mpd"], x, cfg.mpd) if batched
+           else mpd_apply(p["mpd"], x, cfg.mpd))
+    return mrsd_apply(p["mrsd"], x, cfg.mrsd) + mpd

@@ -151,3 +151,48 @@ def test_univnet_mrsd_golden_parity():
             mine = np.asarray(t).transpose(0, 3, 1, 2)
             np.testing.assert_allclose(mine, ref, rtol=1e-3, atol=1e-4,
                                        err_msg=f"resolution {i} layer {j}")
+
+
+def test_batched_discriminator_equals_sequential():
+    """The stacked one-conv-per-layer MSD/MPD variants == the sequential
+    applies: every branch, every layer's feature map, exact shapes, values
+    to f32-reassociation tolerance.  T chosen so periods 7 and 11 exercise
+    the reflect-pad path."""
+    cfg = HiFiGANDiscriminatorConfig()
+    params = hifigan_discriminator_init(jax.random.PRNGKey(3), cfg)
+    eff, _ = resolve_params(params)
+    x = jnp.asarray(0.3 * np.random.default_rng(5)
+                    .standard_normal((2, 96, 1)).astype(np.float32))
+
+    seq = hifigan_discriminator_apply(eff, x, cfg)
+    bat = hifigan_discriminator_apply(eff, x, cfg, batched=True)
+    assert len(seq) == len(bat)
+    for branch_s, branch_b in zip(seq, bat):
+        assert len(branch_s) == len(branch_b)
+        for a, b in zip(branch_s, branch_b):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=2e-6)
+
+
+def test_batched_discriminator_gradients_match():
+    """Gradients w.r.t. disc params through the batched path == sequential
+    (the adv step trains through whichever variant ships)."""
+    cfg = HiFiGANDiscriminatorConfig()
+    params = hifigan_discriminator_init(jax.random.PRNGKey(4), cfg)
+    x = jnp.asarray(0.3 * np.random.default_rng(6)
+                    .standard_normal((1, 66, 1)).astype(np.float32))
+
+    def loss(p, batched):
+        eff, _ = resolve_params(p)
+        outs = hifigan_discriminator_apply(eff, x, cfg, batched=batched)
+        return sum(jnp.mean(jnp.square(o[-1] - 1.0)) for o in outs)
+
+    g_seq = jax.grad(lambda p: loss(p, False))(params)
+    g_bat = jax.grad(lambda p: loss(p, True))(params)
+    # deep-backward accumulation reorders f32 sums; observed worst-case
+    # deltas are ~5e-6 absolute on O(1e-2) grads (reassociation class)
+    for a, b in zip(jax.tree_util.tree_leaves(g_seq),
+                    jax.tree_util.tree_leaves(g_bat)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=2e-5)
