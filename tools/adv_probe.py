@@ -5,7 +5,12 @@ HiFiGAN MSD+MPD) into: generator forward, discriminator forward,
 generator backward (mel+VQ+adv+FM through the frozen disc), discriminator
 backward — to find where a fused/folded kernel would pay.
 
-Usage: python tools/adv_probe.py
+Round-5 extension: --batched A/Bs the stacked one-conv-per-layer
+MSD/MPD variants (models/discriminators.{msd,mpd}_apply_batched) against
+the sequential applies in the same process (VERDICT r4 next-2: measure,
+don't assert).
+
+Usage: python tools/adv_probe.py [--batched]
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,6 +48,11 @@ def timeit(f, *args, n=10):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batched", action="store_true",
+                    help="also time the batched (stacked) MSD/MPD variants")
+    args = ap.parse_args()
     config = load_config("configs/autoencoder/symAD_vctk_48000_hop300.yaml")
     gen_cfg = generator_config(config)
     disc_cfg = discriminator_config(config)
@@ -61,23 +71,28 @@ def main():
                                                        train=True)
         return y
 
-    @jax.jit
-    def disc_fwd(disc, y):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def disc_fwd(disc, y, batched=False):
         eff, _ = resolve_params(disc)
-        outs = hifigan_discriminator_apply(eff, y, disc_cfg)
+        outs = hifigan_discriminator_apply(eff, y, disc_cfg,
+                                           batched=batched)
         return [o[-1] for o in outs]
 
     y = gen_fwd(gen, x)
 
-    @jax.jit
-    def gen_bwd(gen, disc, x):
+    @partial(jax.jit, static_argnums=3)
+    def gen_bwd(gen, disc, x, batched=False):
         disc_eff, _ = resolve_params(disc)
 
         def loss(gen):
             y, zq, z, vqloss, ppl, aux = generator_forward(
                 gen, x, gen_cfg, train=True)
-            p_ = hifigan_discriminator_apply(disc_eff, y, disc_cfg)
-            p = hifigan_discriminator_apply(disc_eff, x, disc_cfg)
+            p_ = hifigan_discriminator_apply(disc_eff, y, disc_cfg,
+                                             batched=batched)
+            p = hifigan_discriminator_apply(disc_eff, x, disc_cfg,
+                                            batched=batched)
             adv = crit["gen_adv"](p_)
             fm = crit["feat_match"](p_, p)
             mel = crit["mel"](y, x)
@@ -85,14 +100,16 @@ def main():
         g = jax.grad(loss)(gen)
         return jax.tree_util.tree_leaves(g)[0]
 
-    @jax.jit
-    def disc_bwd(disc, x, y):
+    @partial(jax.jit, static_argnums=3)
+    def disc_bwd(disc, x, y, batched=False):
         def loss(disc):
             eff, _ = resolve_params(disc)
-            p = hifigan_discriminator_apply(eff, x, disc_cfg)
+            p = hifigan_discriminator_apply(eff, x, disc_cfg,
+                                            batched=batched)
             p_ = hifigan_discriminator_apply(eff,
                                              jax.lax.stop_gradient(y),
-                                             disc_cfg)
+                                             disc_cfg,
+                                             batched=batched)
             real, fake = crit["dis_adv"](p_, p)
             return real + fake
         g = jax.grad(loss)(disc)
@@ -107,12 +124,17 @@ def main():
         g = jax.grad(loss)(gen)
         return jax.tree_util.tree_leaves(g)[0]
 
-    for name, f, args in (("gen_fwd", gen_fwd, (gen, x)),
-                          ("disc_fwd", disc_fwd, (disc, y)),
-                          ("mel_vq_bwd(gen)", mel_only_bwd, (gen, x)),
-                          ("gen_bwd(full adv)", gen_bwd, (gen, disc, x)),
-                          ("disc_bwd", disc_bwd, (disc, x, y))):
-        dt = timeit(f, *args)
+    cases = [("gen_fwd", gen_fwd, (gen, x)),
+             ("disc_fwd", disc_fwd, (disc, y)),
+             ("mel_vq_bwd(gen)", mel_only_bwd, (gen, x)),
+             ("gen_bwd(full adv)", gen_bwd, (gen, disc, x)),
+             ("disc_bwd", disc_bwd, (disc, x, y))]
+    if args.batched:
+        cases += [("disc_fwd[batched]", disc_fwd, (disc, y, True)),
+                  ("gen_bwd[batched]", gen_bwd, (gen, disc, x, True)),
+                  ("disc_bwd[batched]", disc_bwd, (disc, x, y, True))]
+    for name, f, fargs in cases:
+        dt = timeit(f, *fargs)
         print(f"{name:20s} {dt*1e3:7.2f} ms", flush=True)
 
 

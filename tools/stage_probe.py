@@ -6,7 +6,13 @@ fori_loop carrying a data dependency, so tunnel RTT and dispatch stay out of
 the numbers (see bench.py).  This is the ground truth for deciding which
 stages deserve fused Pallas kernels.
 
+--fold F probes every stage at the shape it runs at INSIDE the round-4
+whole-encoder/decoder batch-fold (batch B*F, chunk length t/F + the halo
+at that stage's rate) — the post-fold per-stage accounting VERDICT r4
+weak-3 asked for.  --fold 1 (default) is the direct pipeline.
+
 Usage: python tools/stage_probe.py [--dtype float32|bfloat16] [--iters N]
+                                   [--fold F]
 """
 
 import argparse
@@ -52,6 +58,9 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--secs", type=int, default=10)
+    ap.add_argument("--fold", type=int, default=1,
+                    help="probe stages at the fold-F chunk shapes "
+                         "(models/fast.encoder/decoder_apply_batchfold)")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -79,6 +88,14 @@ def main():
     key = jax.random.PRNGKey(0)
     act = cfg.act
 
+    F = max(1, args.fold)
+    from audiodec_tpu.parallel.codec import (
+        decoder_halo_frames,
+        encoder_halo_samples,
+    )
+    h_enc = encoder_halo_samples(cfg) if F > 1 else 0
+    h_dec = decoder_halo_frames(cfg) if F > 1 else 0
+
     rows = []
 
     def probe(name, f, shape):
@@ -89,11 +106,19 @@ def main():
               flush=True)
 
     # ---- encoder ----
+    # folded shapes: batch B*F, chunk = T/F + halo, halo shrinking with
+    # the stride pyramid (exactly the shapes inside encoder_apply_batchfold)
+    def enc_shape(t_full, h_samples_at_rate, ch):
+        if F == 1:
+            return (B, t_full, ch)
+        return (B * F, t_full // F + h_samples_at_rate, ch)
+
     enc = params["encoder"]
     probe("enc.conv0 k7 1->32 T=%d" % T,
-          lambda x: causal_conv1d(x, enc["conv"]), (B, T, 1))
+          lambda x: causal_conv1d(x, enc["conv"]), enc_shape(T, h_enc, 1))
 
     t = T
+    h_rate = h_enc
     in_ch = cfg.encode_channels
     for i, stride in enumerate(cfg.enc_strides):
         bp = enc["blocks"][i]
@@ -104,15 +129,20 @@ def main():
                                     mode="causal")
             return x
 
-        probe(f"enc.b{i}.res3 C={in_ch} T={t}", res_stack, (B, t, in_ch))
+        probe(f"enc.b{i}.res3 C={in_ch} T={t}", res_stack,
+              enc_shape(t, h_rate, in_ch))
         out_ch = cfg.encode_channels * cfg.enc_ratios[i]
         probe(f"enc.b{i}.strided k={2*stride} s={stride} {in_ch}->{out_ch}",
               lambda x, bp=bp, s=stride: causal_conv1d(x, bp["conv"],
                                                        stride=s),
-              (B, t, in_ch))
+              enc_shape(t, h_rate, in_ch))
         t //= stride
+        h_rate //= stride
         in_ch = out_ch
 
+    # the shipped pipeline unfolds the encoder output BEFORE the projector
+    # (encoder_apply_batchfold returns (B, T/hop, C); projector/RVQ run
+    # unfolded), so these stages keep their direct shapes in fold mode
     probe("projector 512->64",
           lambda x: projector_apply(params["projector"], x, cfg),
           (B, t, cfg.enc_out_channels))
@@ -132,9 +162,15 @@ def main():
 
     # ---- decoder ----
     dec = params["decoder"]
+    def dec_shape(n_full, h_frames_at_rate, ch):
+        if F == 1:
+            return (B, n_full, ch)
+        return (B * F, n_full // F + h_frames_at_rate, ch)
+
+    h_rate_d = h_dec
     probe(f"dec.conv1 k7 64->512 T={t}",
           lambda z: causal_conv1d(z.astype(dtype), dec["conv1"]),
-          (B, t, cfg.code_dim))
+          dec_shape(t, h_rate_d, cfg.code_dim))
     in_ch = cfg.decode_channels * cfg.dec_ratios[0]
     for i, stride in enumerate(cfg.dec_strides):
         bp = dec["blocks"][i]
@@ -145,8 +181,9 @@ def main():
         probe(f"dec.b{i}.convT k={2*stride} s={stride} {in_ch}->{out_ch}",
               lambda x, bp=bp, s=stride: causal_conv_transpose1d(
                   x, bp["conv"], stride=s),
-              (B, t, in_ch))
+              dec_shape(t, h_rate_d, in_ch))
         t *= stride
+        h_rate_d *= stride
 
         def res_stack(x, bp=bp):
             for j, d in enumerate(cfg.res_dilations):
@@ -154,14 +191,17 @@ def main():
                                     mode="causal")
             return x
 
-        probe(f"dec.b{i}.res3 C={out_ch} T={t}", res_stack, (B, t, out_ch))
+        probe(f"dec.b{i}.res3 C={out_ch} T={t}", res_stack,
+              dec_shape(t, h_rate_d, out_ch))
         in_ch = out_ch
 
     probe(f"dec.conv2 k7 {in_ch}->1 T={t}",
-          lambda x: causal_conv1d(x, dec["conv2"]), (B, t, in_ch))
+          lambda x: causal_conv1d(x, dec["conv2"]), dec_shape(t, h_rate_d,
+                                                              in_ch))
 
     total = sum(ms for _, ms in rows)
-    print(json.dumps({"dtype": args.dtype, "total_ms": round(total, 1),
+    print(json.dumps({"dtype": args.dtype, "fold": F,
+                      "total_ms": round(total, 1),
                       "audio_s": B * T / 48000,
                       "rtf_if_serial": round(B * T / 48000 / (total / 1e3),
                                              1)}))
