@@ -153,7 +153,7 @@ def _apply_batchfold_frames(apply_fn, zq, h: int, hop: int, f: int,
 
 
 def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None,
-                            head_patch: bool = True):
+                            head_patch: bool = True, fold_from="auto"):
     """Full-decoder apply with the code-frame axis folded into batch
     (_apply_batchfold_frames with halo = decoder_halo_frames) — re-tiles
     the dominant C=32 stack at the output rate onto the MXU.
@@ -165,16 +165,57 @@ def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None,
 
     1.55x over the direct bf16 decoder at the production 10 s x 48 kHz
     batch shape (fold=8, tools/decfold_probe.py round 4).
+
+    fold_from: run conv1 + the first `fold_from` blocks DIRECT, then fold
+    only the remaining (lane-starved) stages — the round-5 stage sweep
+    measured the fold a loss at the decoder's C>=128 stages, and a late
+    fold's halo is only the tail stages' receptive field at their input
+    rate (29 frames of 12x-upsampled context vs 28 code frames of the
+    whole decoder: redundancy drops 14% -> <1%).  'auto' =
+    decoder_fold_from_auto (first C<128 block); None/0 = whole decoder
+    folded (round-4 behavior).
     """
+    import math
+
+    from audiodec_tpu.models.autoencoder import _res_unit_apply
     from audiodec_tpu.parallel.codec import decoder_halo_frames
 
     f = batchfold_auto(zq.shape[1]) if fold is None else fold
     if f <= 1:
         return _decoder_direct(p, zq, cfg)
-    return _apply_batchfold_frames(
-        lambda z: _decoder_direct(p, z, cfg), zq,
-        decoder_halo_frames(cfg), cfg.hop_length, f,
-        head_patch=head_patch)
+    if fold_from == "auto":
+        fold_from = decoder_fold_from_auto(cfg)
+    if not fold_from:
+        return _apply_batchfold_frames(
+            lambda z: _decoder_direct(p, z, cfg), zq,
+            decoder_halo_frames(cfg), cfg.hop_length, f,
+            head_patch=head_patch)
+
+    act = cfg.act
+    x = causal_conv1d(zq, p["conv1"])
+    for i in range(fold_from):
+        bp = p["blocks"][i]
+        x = causal_conv_transpose1d(x, bp["conv"],
+                                    stride=cfg.dec_strides[i])
+        for j, d in enumerate(cfg.res_dilations):
+            x = _res_unit_apply(bp["res"][j], x, dilation=d, act=act,
+                                mode="causal")
+
+    def tail(xc):
+        y = xc
+        for i in range(fold_from, len(cfg.dec_strides)):
+            bp = p["blocks"][i]
+            y = causal_conv_transpose1d(y, bp["conv"],
+                                        stride=cfg.dec_strides[i])
+            for j, d in enumerate(cfg.res_dilations):
+                y = _res_unit_apply(bp["res"][j], y, dilation=d, act=act,
+                                    mode="causal")
+        return causal_conv1d(y, p["conv2"])
+
+    tail_hop = math.prod(cfg.dec_strides[fold_from:])
+    h = decoder_halo_frames(cfg, from_stage=fold_from)
+    return _apply_batchfold_frames(tail, x, h, tail_hop, f,
+                                   head_patch=head_patch)
 
 
 def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None,
@@ -197,7 +238,33 @@ def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None,
         vocoder_halo_frames(voc_cfg), hop, f, head_patch=head_patch)
 
 
-def encoder_apply_batchfold(p, x, cfg: GeneratorConfig, *, fold=None):
+def encoder_unfold_auto(cfg: GeneratorConfig):
+    """First encoder block whose residual stack reaches C>=128 — the
+    round-5 stage sweep measured the fold HURTING there (+13-15% vs
+    direct: halo redundancy with no lane-fill benefit), while C<=64
+    stacks gain 1.4-3.2x.  Partial folds unfold before that block."""
+    c = cfg.encode_channels
+    for i in range(len(cfg.enc_strides)):
+        if c >= 128:
+            return i
+        c = cfg.encode_channels * cfg.enc_ratios[i]
+    return len(cfg.enc_strides)
+
+
+def decoder_fold_from_auto(cfg: GeneratorConfig):
+    """First decoder block whose residual stack drops below C=128 — the
+    late-fold starts there (same stage-sweep evidence, mirrored)."""
+    n = len(cfg.dec_strides)
+    for i in range(n):
+        c = (cfg.decode_channels * cfg.dec_ratios[i + 1]
+             if i + 1 < len(cfg.dec_ratios) else cfg.decode_channels)
+        if c < 128:
+            return i
+    return 0
+
+
+def encoder_apply_batchfold(p, x, cfg: GeneratorConfig, *, fold=None,
+                            unfold_after="auto"):
     """Whole-encoder apply with the waveform axis folded into batch:
     x (B, T, C) -> chunks (B*F, T/F + halo, C) with an
     encoder_halo_samples() left halo (hop-aligned, so every frame keeps
@@ -213,28 +280,69 @@ def encoder_apply_batchfold(p, x, cfg: GeneratorConfig, *, fold=None):
     — measured 2.27x encode speedup at fold 8 with 0/204800 RVQ index
     flips vs the direct path (tools/encfold_probe.py round 4).  NOT for
     the --precision exact/highest parity paths, which stay direct.
+
+    unfold_after: run only conv0 + the first `unfold_after` blocks
+    folded, then merge the chunks back (drop each chunk's halo at the
+    current rate, reshape to (B, ., C)) and run the deep blocks direct —
+    the round-5 stage sweep measured the fold a LOSS at C>=128 stacks
+    (+13-15%: halo redundancy with no lane-fill gain), so the partial
+    fold keeps it only where it wins, and the halo shrinks to the folded
+    blocks' own receptive field (7500 -> 600 samples at unfold_after=2
+    for symAD; encoder_halo_samples(through_blocks=...)).  'auto' =
+    encoder_unfold_auto; None = whole encoder folded (round-4 behavior).
     """
-    from audiodec_tpu.models.autoencoder import encoder_apply
+    from audiodec_tpu.models.autoencoder import (
+        _res_unit_apply,
+        encoder_apply,
+    )
     from audiodec_tpu.parallel.codec import encoder_halo_samples
 
     b, t, c = x.shape
     hop = cfg.hop_length
-    h = encoder_halo_samples(cfg)
-    h_fr = h // hop
     n = t // hop
     f = batchfold_auto(n) if fold is None else fold
     if f <= 1:
         return encoder_apply(p, x, cfg)
+    if unfold_after == "auto":
+        unfold_after = encoder_unfold_auto(cfg)
+    n_blocks = len(cfg.enc_strides)
+    u = n_blocks if unfold_after is None else min(unfold_after, n_blocks)
 
+    h = encoder_halo_samples(cfg) if u == n_blocks \
+        else encoder_halo_samples(cfg, through_blocks=u)
     pad = (-t) % (f * hop)
     xp = jnp.pad(x, ((0, 0), (h, pad), (0, 0)))
     tc = (t + pad) // f
     chunks = jnp.stack(
         [xp[:, i * tc:i * tc + tc + h] for i in range(f)],
         axis=1).reshape(b * f, tc + h, c)
-    hh = encoder_apply(p, chunks, cfg)
-    hh = hh[:, h_fr:, :]
-    return hh.reshape(b, f * (tc // hop), hh.shape[-1])[:, :n]
+    if u == n_blocks:
+        hh = encoder_apply(p, chunks, cfg)
+        h_fr = h // hop
+        hh = hh[:, h_fr:, :]
+        return hh.reshape(b, f * (tc // hop), hh.shape[-1])[:, :n]
+
+    # partial: folded shallow blocks, direct deep blocks
+    act = cfg.act
+    y = causal_conv1d(chunks, p["conv"])
+    h_rate, tc_rate = h, tc
+    for i in range(u):
+        bp = p["blocks"][i]
+        for j, d in enumerate(cfg.res_dilations):
+            y = _res_unit_apply(bp["res"][j], y, dilation=d, act=act,
+                                mode="causal")
+        y = causal_conv1d(y, bp["conv"], stride=cfg.enc_strides[i])
+        h_rate //= cfg.enc_strides[i]
+        tc_rate //= cfg.enc_strides[i]
+    # merge chunks: drop each chunk's halo, restore (B, ., C) contiguity
+    y = y[:, h_rate:, :].reshape(b, f * tc_rate, y.shape[-1])
+    for i in range(u, n_blocks):
+        bp = p["blocks"][i]
+        for j, d in enumerate(cfg.res_dilations):
+            y = _res_unit_apply(bp["res"][j], y, dilation=d, act=act,
+                                mode="causal")
+        y = causal_conv1d(y, bp["conv"], stride=cfg.enc_strides[i])
+    return y[:, :n]
 
 
 def decode_batchfold(dec_params, q_params, idx, cfg: GeneratorConfig, *,

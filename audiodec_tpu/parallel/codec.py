@@ -39,23 +39,52 @@ from audiodec_tpu.models.vocoder import VocoderConfig, vocoder_apply
 from audiodec_tpu.ops.vq import rvq_forward_index, rvq_lookup
 
 
-def encoder_halo_samples(cfg: GeneratorConfig) -> int:
+def encoder_halo_samples(cfg: GeneratorConfig,
+                         through_blocks: Optional[int] = None) -> int:
     """Left-context halo in samples, rounded up to a hop multiple so the
-    stride phase of every frame is preserved across chunk seams."""
-    rf = cfg.receptive_field
+    stride phase of every frame is preserved across chunk seams.
+
+    through_blocks: when set, the halo covers only conv0 + the first
+    `through_blocks` encoder blocks (NOT the projector), aligned to the
+    rate after those blocks — the halo a partial encoder fold needs
+    (models/fast unfold_after: deep blocks run unfolded on the merged
+    full-context sequence, so their receptive field costs no halo).  For
+    symAD this shrinks the halo 7500 -> 600 samples at through_blocks=2.
+    Default (None) keeps the full conservative halo incl. the projector,
+    which the sharded codec's shard-local projector requires."""
     hop = cfg.hop_length
-    return math.ceil((rf - 1) / hop) * hop
+    if through_blocks is None:
+        rf = cfg.receptive_field
+        return math.ceil((rf - 1) / hop) * hop
+    strides = tuple(cfg.enc_strides)
+    u = min(through_blocks, len(strides))
+    rf = 1 + (cfg.kernel_size - 1)
+    rate = 1
+    for i in range(u):
+        for d in tuple(cfg.res_dilations):
+            rf += (cfg.res_kernel_size - 1) * d * rate
+        rf += (2 * strides[i] - 1) * rate
+        rate *= strides[i]
+    align = hop if u == len(strides) else rate
+    return math.ceil((rf - 1) / align) * align
 
 
-def decoder_halo_frames(cfg: GeneratorConfig) -> int:
+def decoder_halo_frames(cfg: GeneratorConfig, from_stage: int = 0) -> int:
     """Decoder receptive field in input code frames (conservative ceil walk
-    through conv1 -> blocks(convT + res units) -> conv2)."""
+    through conv1 -> blocks(convT + res units) -> conv2).
+
+    from_stage > 0 counts only the REMAINING stages (block from_stage
+    onward + conv2), in frames at that block's input rate — the halo a
+    mid-decoder fold needs (models/fast late-fold; the late stages' own
+    receptive field is tiny relative to the whole decoder's, so folding
+    late costs almost no halo redundancy)."""
     rf = 1 + (cfg.kernel_size - 1)  # conv2 at output rate
-    for stride in reversed(tuple(cfg.dec_strides)):
+    for stride in reversed(tuple(cfg.dec_strides)[from_stage:]):
         for d in tuple(cfg.res_dilations):
             rf += (cfg.res_kernel_size - 1) * d
         rf = math.ceil(rf / stride) + (math.ceil(2 * stride / stride) - 1)
-    rf += cfg.kernel_size - 1  # conv1 at frame rate
+    if from_stage == 0:
+        rf += cfg.kernel_size - 1  # conv1 at frame rate
     return rf
 
 

@@ -165,10 +165,16 @@ def main():
         # (BENCH_r*.json before 2026-08-19, BENCHMARKS.md tables) used
         # "f32" = full-f32; keep series comparable via this field.
         "mode": "mixed",
-        # both halves ride the round-4 batch-folded paths (fold 8;
-        # models/fast.{encoder_apply,decoder_apply}_batchfold)
+        # both halves ride the batch-folded paths (fold 8;
+        # models/fast.{encoder_apply,decoder_apply}_batchfold), round-5
+        # PARTIAL variant: only the C<=64 stages fold (encoder unfolds
+        # after block 2, decoder folds from block 2) — the C>=128 stages
+        # measured faster direct, and the late-fold halo is ~1% vs 14%
+        # (stage sweep + end-to-end A/B in BENCHMARKS round 5)
         "encode_fold": 8,
         "decode_fold": 8,
+        "encoder_unfold_after": 2,
+        "decoder_fold_from": 2,
         # utilization: model (direct-path) FLOPs per transcode, the rate
         # they complete at, and the fraction of the v5e-chip bf16 peak
         "model_gflops_per_transcode": round(model_flops / 1e9, 2),

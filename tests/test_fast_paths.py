@@ -232,3 +232,40 @@ def test_exact_precision_transcode_indices_match_f32():
         np.testing.assert_array_equal(np.asarray(idx_e), np.asarray(idx_f))
         np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_f),
                                    rtol=0.05, atol=0.05)
+
+
+def test_partial_folds_match_direct():
+    """Round-5 partial folds (encoder unfold_after / decoder fold_from) ==
+    direct applies, bit-exact on CPU at EVERY split point including the
+    'auto' policy (C>=128 boundary).  The shipped defaults are 'auto'."""
+    import numpy as np
+    from audiodec_tpu.models.autoencoder import (
+        GeneratorConfig, decoder_apply, encoder_apply, generator_init)
+    from audiodec_tpu.models.fast import (
+        decoder_apply_batchfold, decoder_fold_from_auto,
+        encoder_apply_batchfold, encoder_unfold_auto)
+
+    cfg = GeneratorConfig()
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    assert encoder_unfold_auto(cfg) == 2   # C=128 from block 2
+    assert decoder_fold_from_auto(cfg) == 2  # C=64 from block 2
+
+    x = jnp.asarray(0.3 * np.random.default_rng(0)
+                    .standard_normal((2, 24000, 1)).astype(np.float32))
+    h_ref = encoder_apply(params["encoder"], x, cfg)
+    for u in (0, 1, "auto", 3, None):
+        h = encoder_apply_batchfold(params["encoder"], x, cfg, fold=4,
+                                    unfold_after=u)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    n = 24000 // cfg.hop_length
+    zq = jnp.asarray(0.5 * np.random.default_rng(1)
+                     .standard_normal((2, n, cfg.code_dim))
+                     .astype(np.float32))
+    y_ref = decoder_apply(params["decoder"], zq, cfg)
+    for ff in (0, 1, "auto", 3, None):
+        y = decoder_apply_batchfold(params["decoder"], zq, cfg, fold=4,
+                                    fold_from=ff)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
