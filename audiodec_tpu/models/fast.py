@@ -218,12 +218,26 @@ def decoder_apply_batchfold(p, zq, cfg: GeneratorConfig, *, fold=None,
                                    head_patch=head_patch)
 
 
+def vocoder_fold_from_auto(cfg) -> int:
+    """First upsample stage whose output channels drop below 128 (same
+    measured C>=128 boundary as decoder_fold_from_auto)."""
+    for i in range(len(cfg.upsample_scales)):
+        if cfg.stage_channels(i) < 128:
+            return i
+    return 0
+
+
 def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None,
-                            head_patch: bool = True):
+                            head_patch: bool = True, fold_from="auto"):
     """HiFiGAN vocoder apply with the code-frame axis folded into batch
     (_apply_batchfold_frames with halo = vocoder_halo_frames) — the AD
     v1/v2 receiver's analogue of decoder_apply_batchfold, for bf16-class
-    vocoder decodes (same numeric-class caveat)."""
+    vocoder decodes (same numeric-class caveat).
+
+    fold_from: as in decoder_apply_batchfold — run the wide (C>=128)
+    early stages direct and fold only the lane-starved tail, with the
+    tail stages' own (small) receptive field as halo.  'auto' =
+    vocoder_fold_from_auto; None/0 = whole vocoder folded."""
     import math
 
     from audiodec_tpu.models.vocoder import vocoder_apply
@@ -232,10 +246,42 @@ def vocoder_apply_batchfold(p, zq, voc_cfg, *, fold=None,
     f = batchfold_auto(zq.shape[1]) if fold is None else fold
     if f <= 1:
         return vocoder_apply(p, zq, voc_cfg)
-    hop = math.prod(voc_cfg.upsample_scales)
-    return _apply_batchfold_frames(
-        lambda z: vocoder_apply(p, z, voc_cfg), zq,
-        vocoder_halo_frames(voc_cfg), hop, f, head_patch=head_patch)
+    if fold_from == "auto":
+        fold_from = vocoder_fold_from_auto(voc_cfg)
+    if not fold_from:
+        hop = math.prod(voc_cfg.upsample_scales)
+        return _apply_batchfold_frames(
+            lambda z: vocoder_apply(p, z, voc_cfg), zq,
+            vocoder_halo_frames(voc_cfg), hop, f, head_patch=head_patch)
+
+    from audiodec_tpu.models.vocoder import _fusion_apply
+    from audiodec_tpu.ops.activations import get_activation
+    from audiodec_tpu.ops.conv import causal_conv_transpose1d as convT
+
+    act = voc_cfg.act
+    lrelu = get_activation("LeakyReLU")
+    c = zq
+    if voc_cfg.stats and "mean" in p:
+        c = (c - p["mean"]) / p["scale"]
+    c = causal_conv1d(c, p["input_conv"])
+    for i in range(fold_from):
+        c = convT(act(c), p["upsamples"][i],
+                  stride=voc_cfg.upsample_scales[i])
+        c = _fusion_apply(p["blocks"][i], c, voc_cfg)
+
+    def tail(xc):
+        y = xc
+        for i in range(fold_from, len(voc_cfg.upsample_scales)):
+            y = convT(act(y), p["upsamples"][i],
+                      stride=voc_cfg.upsample_scales[i])
+            y = _fusion_apply(p["blocks"][i], y, voc_cfg)
+        y = causal_conv1d(lrelu(y), p["output_conv"])
+        return jnp.tanh(y)
+
+    tail_hop = math.prod(voc_cfg.upsample_scales[fold_from:])
+    h = vocoder_halo_frames(voc_cfg, from_stage=fold_from)
+    return _apply_batchfold_frames(tail, c, h, tail_hop, f,
+                                   head_patch=head_patch)
 
 
 def encoder_unfold_auto(cfg: GeneratorConfig):

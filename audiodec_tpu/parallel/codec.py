@@ -88,10 +88,14 @@ def decoder_halo_frames(cfg: GeneratorConfig, from_stage: int = 0) -> int:
     return rf
 
 
-def vocoder_halo_frames(cfg: VocoderConfig) -> int:
-    """HiFiGAN vocoder receptive field in input code frames."""
+def vocoder_halo_frames(cfg: VocoderConfig, from_stage: int = 0) -> int:
+    """HiFiGAN vocoder receptive field in input code frames.
+
+    from_stage > 0: only the remaining upsample stages + output conv, in
+    frames at that stage's input rate (the late-fold halo, mirroring
+    decoder_halo_frames)."""
     rf = 1 + (cfg.kernel_size - 1)  # output conv
-    for i in reversed(range(len(cfg.upsample_scales))):
+    for i in reversed(range(from_stage, len(cfg.upsample_scales))):
         s = cfg.upsample_scales[i]
         for b, k in enumerate(cfg.resblock_kernel_sizes):
             for d in cfg.resblock_dilations[b]:
@@ -100,7 +104,8 @@ def vocoder_halo_frames(cfg: VocoderConfig) -> int:
                     rf += (k - 1)
         rf = math.ceil(rf / s) + (math.ceil(cfg.upsample_kernel_sizes[i] / s)
                                   - 1)
-    rf += cfg.kernel_size - 1  # input conv
+    if from_stage == 0:
+        rf += cfg.kernel_size - 1  # input conv
     return rf
 
 

@@ -269,3 +269,30 @@ def test_partial_folds_match_direct():
                                     fold_from=ff)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_vocoder_partial_fold_matches_direct():
+    """vocoder_apply_batchfold fold_from (round-5 late fold) == direct
+    vocoder_apply, bit-exact on CPU at every split point incl. 'auto'
+    (1.39x over the whole fold on hardware, BENCHMARKS round 5)."""
+    import numpy as np
+    from audiodec_tpu.models.vocoder import (
+        VocoderConfig, vocoder_apply, vocoder_init)
+    from audiodec_tpu.models.fast import (
+        vocoder_apply_batchfold, vocoder_fold_from_auto)
+
+    cfg = VocoderConfig(in_channels=64, channels=512,
+                        upsample_scales=(5, 5, 4, 3),
+                        upsample_kernel_sizes=(10, 10, 8, 6),
+                        resblock_kernel_sizes=(11,),
+                        resblock_dilations=((1, 3, 5),), groups=3,
+                        stats=True)
+    p = vocoder_init(jax.random.PRNGKey(0), cfg)
+    assert vocoder_fold_from_auto(cfg) == 2  # stage channels 256,128,64,32
+    zq = jnp.asarray(0.5 * np.random.default_rng(1)
+                     .standard_normal((2, 96, 64)).astype(np.float32))
+    y_ref = vocoder_apply(p, zq, cfg)
+    for ff in (0, 1, "auto", 3, None):
+        y = vocoder_apply_batchfold(p, zq, cfg, fold=4, fold_from=ff)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
