@@ -30,14 +30,14 @@ def main():
     args = parser.parse_args()
 
     from audiodec_tpu.data import read_wav
-    from audiodec_tpu.utils.metrics import mel_distance, snr_db
+    from audiodec_tpu.utils.metrics import mcd_db, mel_distance, snr_db
 
     import numpy as np
 
     est_suffix = args.est_suffix or args.suffix
     names = sorted(f for f in os.listdir(args.ref)
                    if f.endswith(args.suffix))
-    snrs, mels = [], []
+    snrs, mels, mcds = [], [], []
     for name in names:
         ep = os.path.join(args.est,
                           name[: len(name) - len(args.suffix)] + est_suffix)
@@ -48,11 +48,15 @@ def main():
         n = min(len(a), len(b))
         snrs.append(snr_db(a[:n, 0], b[:n, 0]))
         mels.append(mel_distance(a[:n, 0], b[:n, 0], sr))
+        mcds.append(mcd_db(a[:n, 0], b[:n, 0], sr))
     print(json.dumps({
         "n": len(snrs),
         "snr_db_mean": float(np.mean(snrs)) if snrs else None,
         "snr_db_min": float(np.min(snrs)) if snrs else None,
         "mel_l1_mean": float(np.mean(mels)) if mels else None,
+        # mel-cepstral distortion: the standard objective proxy for the
+        # reference's MOS evidence (utils/metrics.mcd_db; lower = better)
+        "mcd_db_mean": float(np.mean(mcds)) if mcds else None,
     }))
 
 
