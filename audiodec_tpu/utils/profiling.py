@@ -15,10 +15,19 @@ def enable_compile_cache(path: Optional[str] = None) -> None:
     Every CLI entry point calls this: on the tunneled TPU a fresh process
     otherwise re-pays minutes of remote compile for the big jitted
     transcode/train graphs.  Honors JAX_COMPILATION_CACHE_DIR, defaulting
-    to ~/.cache/jax_comp_cache."""
+    to ~/.cache/jax_comp_cache.
+
+    Also honors AUDIODEC_PLATFORM (e.g. =cpu): the axon TPU plugin
+    ignores the JAX_PLATFORMS env var, so CPU smoke runs of the CLIs
+    (e.g. while the chip is busy training) need this config-level
+    override, applied before backend init."""
     import os
 
     import jax
+
+    plat = os.environ.get("AUDIODEC_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                   os.path.expanduser(
