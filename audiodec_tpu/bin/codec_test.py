@@ -237,6 +237,13 @@ class BatchTranscoder:
                             and cfg.mode == "causal"
                             and cfg.codec == "audiodec")
         use_enc_batchfold = enc_batchfold_ok and mesh is None
+        # introspection (tests pin the fold-eligibility decisions, e.g.
+        # that an int8 downgrade under a mesh keeps the folded decoder)
+        self.fold_policy = {
+            "enc_fold": enc_batchfold_ok,
+            "dec_fold": dec_batchfold_ok or voc_batchfold_ok,
+            "int8_decode": int8_decode,
+        }
         if use_enc_batchfold:
             from functools import partial as _partial
             from audiodec_tpu.models.fast import encoder_apply_batchfold

@@ -519,3 +519,40 @@ def test_codec_serve_output_name_collision(workdir, monkeypatch, capsys):
     assert outs[2] == outs[0]  # same source re-transcoded -> same path
     assert sorted(os.listdir(outdir)) == ["same_output.2.wav",
                                           "same_output.wav"]
+
+
+def test_int8_mesh_fallback_keeps_folded_decoder():
+    """--int8-decode under a mesh downgrades to the NORMAL (folded when
+    eligible) decoder, not a fully-direct one: the int8 downgrade happens
+    BEFORE the fold-eligibility checks (round-4 advisor finding)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiodec_tpu.bin.codec_test import BatchTranscoder
+    from audiodec_tpu.models.autoencoder import (
+        GeneratorConfig,
+        generator_init,
+    )
+    from audiodec_tpu.parallel import make_mesh
+
+    cfg = GeneratorConfig(encode_channels=2, decode_channels=2, code_dim=8,
+                          codebook_num=2, codebook_size=16)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=2, seq=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tc = BatchTranscoder(params, cfg, mesh=mesh,
+                             dtype=jnp.float32, dec_dtype=jnp.bfloat16,
+                             int8_decode=True)
+        assert any("int8-decode cannot be honored" in str(x.message)
+                   for x in w)
+    assert tc.fold_policy["int8_decode"] is False
+    assert tc.fold_policy["dec_fold"] is True   # folded fallback
+    assert tc.fold_policy["enc_fold"] is True
+
+    # fold factor 1 means DIRECT, never auto (identity-check fix)
+    from audiodec_tpu.bin.codec_test import _fold_arg
+    assert _fold_arg(1) == 1 and _fold_arg(True) is None \
+        and _fold_arg(None) is None and _fold_arg(8) == 8
