@@ -25,13 +25,15 @@ while [ $# -gt 0 ]; do
     --voc_config) voc_config="$2"; shift 2 ;;
     --stats_config) stats_config="$2"; shift 2 ;;
     --tag_prefix) tag_prefix="$2"; shift 2 ;;
+    --ae_tag) ae_tag_override="$2"; shift 2 ;;
+    --voc_tag) voc_tag_override="$2"; shift 2 ;;
     --resume) resume="--resume $2"; shift 2 ;;
     *) echo "unknown option $1"; exit 1 ;;
   esac
 done
 
-ae_tag="$tag_prefix/autoencoder/$(basename "$ae_config" .yaml)"
-voc_tag="$tag_prefix/vocoder/$(basename "$voc_config" .yaml)"
+ae_tag="${ae_tag_override:-$tag_prefix/autoencoder/$(basename "$ae_config" .yaml)}"
+voc_tag="${voc_tag_override:-$tag_prefix/vocoder/$(basename "$voc_config" .yaml)}"
 
 run_stage() {
   local n="$1"; shift
