@@ -556,3 +556,24 @@ def test_int8_mesh_fallback_keeps_folded_decoder():
     from audiodec_tpu.bin.codec_test import _fold_arg
     assert _fold_arg(1) == 1 and _fold_arg(True) is None \
         and _fold_arg(None) is None and _fold_arg(8) == 8
+
+
+def test_audiodec_platform_env_override():
+    """AUDIODEC_PLATFORM=cpu forces the CLI backend to CPU via
+    enable_compile_cache (the axon TPU plugin ignores the JAX_PLATFORMS
+    env var, so this config-level hook is the only way to CPU-run a CLI
+    in a fresh process while the chip is busy)."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["AUDIODEC_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from audiodec_tpu.utils.profiling import enable_compile_cache;"
+         "enable_compile_cache();"
+         "import jax; print('backend=' + jax.default_backend())"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "backend=cpu" in r.stdout
